@@ -1,0 +1,29 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with float64.
+
+The driver benches on real TPU; tests validate numerics (f64) and multi-chip
+sharding on host CPU devices, per the build environment contract.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config entry is
+# authoritative (verified: env var alone still selects the TPU).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
