@@ -1,0 +1,236 @@
+"""Keypoint orientation and M-LDB binary descriptors (device side).
+
+Re-design of ``/root/reference/akaze/src/scale_space_extrema.rs:157-288``
+(orientation) and ``descriptors.rs`` (M-LDB).  The reference's per-keypoint
+sample loops become batched gathers over static offset tables: every keypoint
+gathers its 109 orientation samples and 1241 descriptor samples in one
+vectorized pass, and the 486 binary comparisons are a static pair-index
+table -> bit-pack.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Static tables
+# ---------------------------------------------------------------------------
+
+# 7x7 Gaussian weight table (scale_space_extrema.rs:162-226).
+GAUSS25 = np.array(
+    [
+        [0.02546481, 0.02350698, 0.01849125, 0.01239505, 0.00708017, 0.00344629, 0.00142946],
+        [0.02350698, 0.02169968, 0.01706957, 0.01144208, 0.00653582, 0.00318132, 0.00131956],
+        [0.01849125, 0.01706957, 0.01342740, 0.00900066, 0.00514126, 0.00250252, 0.00103800],
+        [0.01239505, 0.01144208, 0.00900066, 0.00603332, 0.00344629, 0.00167749, 0.00069579],
+        [0.00708017, 0.00653582, 0.00514126, 0.00344629, 0.00196855, 0.00095820, 0.00039744],
+        [0.00344629, 0.00318132, 0.00250252, 0.00167749, 0.00095820, 0.00046640, 0.00019346],
+        [0.00142946, 0.00131956, 0.00103800, 0.00069579, 0.00039744, 0.00019346, 0.00008024],
+    ],
+    dtype=np.float32,
+)
+
+
+@lru_cache(maxsize=None)
+def orientation_table():
+    """(di, dj, weight) for the 109-sample disc (scale_space_extrema.rs:242-253)."""
+    dis, djs, ws = [], [], []
+    for j in range(-6, 7):
+        for i in range(-6, 7):
+            if i * i + j * j < 36:
+                dis.append(i)
+                djs.append(j)
+                ws.append(GAUSS25[abs(j)][abs(i)])
+    return (
+        np.array(dis, np.float32),
+        np.array(djs, np.float32),
+        np.array(ws, np.float32),
+    )
+
+
+@lru_cache(maxsize=None)
+def orientation_windows():
+    """The 42 sliding-window start angles, accumulated in f32 exactly like
+    the reference's ``ang1 += 0.15`` loop (scale_space_extrema.rs:256-287)."""
+    angs = []
+    ang1 = np.float32(0.0)
+    two_pi = np.float32(2.0) * np.float32(np.pi)
+    while ang1 < two_pi:
+        angs.append(ang1)
+        ang1 = np.float32(ang1 + np.float32(0.15))
+    ang1s = np.array(angs, np.float32)
+    pi3 = np.float32(np.pi) / np.float32(3.0)
+    ang2s = np.where(
+        ang1s + pi3 > two_pi, ang1s - np.float32(5.0) * pi3, ang1s + pi3
+    ).astype(np.float32)
+    return ang1s, ang2s
+
+
+@lru_cache(maxsize=None)
+def mldb_tables(pattern_size: int = 10):
+    """Static M-LDB sampling + comparison tables (descriptors.rs:102-202).
+
+    Returns:
+      samples: (n_samples, 3) int32 rows (cell_index, k, l) across all 3 grid
+        levels (cells are numbered consecutively: 4 + 9 + 16 = 29).
+      cell_counts: (29,) number of samples per cell.
+      comparisons: (486, 3) int32 rows (cell_i, cell_j, channel) in exact
+        ``dpos`` order (level-major, then channel, then pair).
+    """
+    size_mult = [1.0, 2.0 / 3.0, 1.0 / 2.0]
+    samples = []
+    cell_counts = []
+    comparisons = []
+    cell_base = 0
+    for lvl, mult in enumerate(size_mult):
+        count = (lvl + 2) * (lvl + 2)
+        step = int(np.ceil(pattern_size * mult))
+        cell = cell_base
+        n_axis = 0
+        for i in range(-pattern_size, pattern_size, step):
+            n_axis += 1
+        assert n_axis * n_axis == count, (lvl, n_axis, count)
+        for i in range(-pattern_size, pattern_size, step):
+            for j in range(-pattern_size, pattern_size, step):
+                for k in range(i, i + step):
+                    for l in range(j, j + step):
+                        samples.append((cell, k, l))
+                cell_counts.append(step * step)
+                cell += 1
+        for ch in range(3):
+            for a in range(count):
+                for b in range(a + 1, count):
+                    comparisons.append((cell_base + a, cell_base + b, ch))
+        cell_base += count
+    return (
+        np.array(samples, np.int32),
+        np.array(cell_counts, np.int32),
+        np.array(comparisons, np.int32),
+    )
+
+
+def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
+    """Rust ``f32::round`` semantics (round half away from zero); jnp.round
+    is half-to-even, which would disagree on exact .5 samples."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def _atan2_cv(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV-equivalent atan2 in [0, 2pi) (scale_space_extrema.rs:236-239)."""
+    two_pi = jnp.float32(2.0 * np.pi)
+    return jnp.mod(jnp.arctan2(y, x) + two_pi, two_pi)
+
+
+# ---------------------------------------------------------------------------
+# Batched device kernels (per octave group: planes (S, H, W))
+# ---------------------------------------------------------------------------
+
+
+def compute_orientations(
+    lx: jnp.ndarray,
+    ly: jnp.ndarray,
+    sub: jnp.ndarray,  # (K,) sublevel index into the stacked planes
+    xf: jnp.ndarray,  # (K,) keypoint x in this octave's coords
+    yf: jnp.ndarray,  # (K,)
+    s: jnp.ndarray,  # (K,) sampling scale (f32, already rounded)
+) -> jnp.ndarray:
+    """Dominant orientation per keypoint (scale_space_extrema.rs:229-288)."""
+    h, w = lx.shape[-2], lx.shape[-1]
+    di, dj, wt = (jnp.asarray(a) for a in orientation_table())
+    ix = round_half_away(xf[:, None] + di[None, :] * s[:, None]).astype(jnp.int32)
+    iy = round_half_away(yf[:, None] + dj[None, :] * s[:, None]).astype(jnp.int32)
+    # Rust `as usize` saturates negatives to zero; clamp top as well (the
+    # reference would panic there, and the border guard prevents it).
+    ix = jnp.clip(ix, 0, w - 1)
+    iy = jnp.clip(iy, 0, h - 1)
+    sub_b = sub[:, None]
+    res_x = wt[None, :] * lx[sub_b, iy, ix]
+    res_y = wt[None, :] * ly[sub_b, iy, ix]
+    angs = _atan2_cv(res_y, res_x)  # (K, 109)
+
+    ang1s, ang2s = (jnp.asarray(a) for a in orientation_windows())  # (42,)
+    two_pi = jnp.float32(2.0 * np.pi)
+    a1 = ang1s[None, :, None]
+    a2 = ang2s[None, :, None]
+    ang = angs[:, None, :]
+    in_window = ((a1 < a2) & (a1 < ang) & (ang < a2)) | (
+        (a2 < a1) & (((ang > 0) & (ang < a2)) | ((ang > a1) & (ang < two_pi)))
+    )  # (K, 42, 109)
+    sum_x = jnp.sum(jnp.where(in_window, res_x[:, None, :], 0.0), axis=-1)
+    sum_y = jnp.sum(jnp.where(in_window, res_y[:, None, :], 0.0), axis=-1)
+    val = sum_x * sum_x + sum_y * sum_y  # (K, 42)
+    best = jnp.argmax(val, axis=-1)  # first max wins, matching `val > max`
+    bx = jnp.take_along_axis(sum_x, best[:, None], axis=-1)[:, 0]
+    by = jnp.take_along_axis(sum_y, best[:, None], axis=-1)[:, 0]
+    angle = _atan2_cv(by, bx)
+    # The reference keeps angle 0 when no window beats max=0.
+    return jnp.where(jnp.max(val, axis=-1) > 0.0, angle, 0.0)
+
+
+def compute_mldb_descriptors(
+    lt: jnp.ndarray,
+    lx: jnp.ndarray,
+    ly: jnp.ndarray,
+    sub: jnp.ndarray,  # (K,)
+    xf: jnp.ndarray,  # (K,) octave coords
+    yf: jnp.ndarray,
+    scale: jnp.ndarray,  # (K,) f32 rounded sampling scale
+    angle: jnp.ndarray,  # (K,)
+    pattern_size: int = 10,
+):
+    """486-bit M-LDB descriptors, bit-packed to (K, 16) uint32
+    (descriptors.rs:55-202). Returns ``(words, ok)``; ``ok`` is False when
+    any sample falls out of bounds (the reference drops such keypoints,
+    descriptors.rs:131-140)."""
+    h, w = lt.shape[-2], lt.shape[-1]
+    samples, cell_counts, comparisons = mldb_tables(pattern_size)
+    cell_id = jnp.asarray(samples[:, 0])
+    ks = jnp.asarray(samples[:, 1].astype(np.float32))
+    ls = jnp.asarray(samples[:, 2].astype(np.float32))
+    n_cells = int(cell_counts.shape[0])
+
+    co = jnp.cos(angle)[:, None]
+    si = jnp.sin(angle)[:, None]
+    sc = scale[:, None]
+    sample_y = yf[:, None] + (ls[None, :] * co + ks[None, :] * si) * sc
+    sample_x = xf[:, None] + (-ls[None, :] * si + ks[None, :] * co) * sc
+    y1 = round_half_away(sample_y).astype(jnp.int32)
+    x1 = round_half_away(sample_x).astype(jnp.int32)
+    oob = (x1 < 0) | (x1 >= w) | (y1 < 0) | (y1 >= h)
+    ok = ~jnp.any(oob, axis=-1)
+    x1 = jnp.clip(x1, 0, w - 1)
+    y1 = jnp.clip(y1, 0, h - 1)
+
+    sub_b = sub[:, None]
+    ri = lt[sub_b, y1, x1]  # (K, n_samples)
+    rx = lx[sub_b, y1, x1]
+    ry = ly[sub_b, y1, x1]
+
+    # Per-cell means via one-hot matmul (29 cells) — MXU-friendly.
+    onehot = (cell_id[None, :] == jnp.arange(n_cells)[:, None]).astype(ri.dtype)
+    inv_counts = (1.0 / cell_counts.astype(np.float32))[None, :]
+    di = (ri @ onehot.T) * inv_counts  # (K, 29)
+    sx = (rx @ onehot.T) * inv_counts
+    sy = (ry @ onehot.T) * inv_counts
+    # Rotate the mean gradient (linear, so mean-then-rotate == rotate-then-
+    # mean): dx stores -rx*si + ry*co, dy stores rx*co + ry*si
+    # (descriptors.rs:160-166).
+    dx = -sx * si + sy * co
+    dy = sx * co + sy * si
+    values = jnp.stack([di, dx, dy], axis=-1)  # (K, 29, 3)
+
+    ci = jnp.asarray(comparisons[:, 0])
+    cj = jnp.asarray(comparisons[:, 1])
+    ch = jnp.asarray(comparisons[:, 2])
+    bits = values[:, ci, ch] > values[:, cj, ch]  # (K, 486)
+
+    n_bits = bits.shape[-1]
+    pad = (-n_bits) % 32
+    bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    bits = bits.reshape(bits.shape[0], -1, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    words = jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+    return words, ok

@@ -1,0 +1,128 @@
+"""Nonlinear scale-space construction + detector response (device side).
+
+Re-design of ``/root/reference/akaze/src/lib.rs:193-258`` (scale space),
+``contrast_factor.rs`` (contrast factor), ``detector_response.rs`` (Hessian
+response).  The whole pipeline is one jittable function over a batch of
+frames ``(B, H, W) float32``; evolutions are traced sequentially (the
+diffusion chain is inherently sequential) but every op is batched over
+frames, so XLA pipelines the per-evolution convolutions across the batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import image as ops
+from .config import Akaze, EvolutionSpec
+
+
+@dataclass(frozen=True)
+class EvolutionPlanes:
+    """Device buffers for one evolution, each ``(B, H_o, W_o)``."""
+
+    spec: EvolutionSpec
+    lt: jnp.ndarray  # diffused image (descriptor sampling source)
+    lsmooth: jnp.ndarray  # sigma-1 smoothed (derivative source)
+    lx: jnp.ndarray  # multiscale d/dx of Lsmooth (orientation/descriptors)
+    ly: jnp.ndarray  # multiscale d/dy
+    ldet: jnp.ndarray  # Hessian determinant response
+
+    @property
+    def detector_sigma_size(self) -> int:
+        s = self.spec
+        return int(round(s.esigma * 1.5 / s.ratio))
+
+
+def compute_contrast_factor(
+    image: jnp.ndarray,
+    percentile: float,
+    gradient_histogram_scale: float,
+    num_bins: int,
+) -> jnp.ndarray:
+    """Per-frame contrast factor k (contrast_factor.rs:16-64).
+
+    70th-percentile of the interior gradient-magnitude histogram of the
+    sigma-1-blurred image; the reference's sequential histogram walk becomes
+    a bincount + cumulative-sum + searchsorted, batched over frames.
+    """
+    g = ops.gaussian_blur(image, gradient_histogram_scale)
+    lx = ops.scharr_horizontal(g, 1)
+    ly = ops.scharr_vertical(g, 1)
+    mag2 = (lx * lx + ly * ly)[..., 1:-1, 1:-1]
+    batch = mag2.shape[:-2]
+    flat2 = mag2.reshape((-1,) + (mag2.shape[-2] * mag2.shape[-1],))
+    flat2 = flat2.astype(jnp.float64)
+
+    def one_frame(m2):
+        hmax2 = jnp.max(m2)
+        hmax = jnp.sqrt(hmax2)
+        modg = jnp.sqrt(m2)
+        nonzero = modg != 0.0
+        safe_hmax = jnp.where(hmax == 0, 1.0, hmax)
+        binnum = jnp.floor(num_bins * (modg / safe_hmax)).astype(jnp.int32)
+        binnum = jnp.minimum(binnum, num_bins - 1)
+        # Route zero-gradient pixels to a dump bin past the histogram.
+        binnum = jnp.where(nonzero, binnum, num_bins)
+        hist = jnp.bincount(binnum, length=num_bins + 1)[:num_bins]
+        num_points = jnp.sum(nonzero)
+        threshold = jnp.floor(num_points.astype(jnp.float64) * percentile)
+        csum = jnp.cumsum(hist).astype(jnp.float64)
+        # k = number of bins consumed before the cumulative count reaches the
+        # threshold (contrast_factor.rs:49-54); threshold 0 consumes none.
+        reached = csum >= threshold
+        k = jnp.where(threshold > 0, jnp.argmax(reached) + 1, 0)
+        result = hmax * k.astype(jnp.float64) / num_bins
+        # Fallback 0.03 when the percentile is never reached.
+        return jnp.where(csum[-1] >= threshold, result, 0.03)
+
+    result = jax.vmap(one_frame)(flat2)
+    return result.reshape(batch).astype(image.dtype)
+
+
+def build_scale_space(
+    config: Akaze, specs: list[EvolutionSpec], image: jnp.ndarray
+) -> list[EvolutionPlanes]:
+    """Build all evolutions and their detector responses for a batch of
+    frames (lib.rs:193-258 + detector_response.rs)."""
+    contrast0 = compute_contrast_factor(
+        image, config.contrast_percentile, 1.0, config.contrast_factor_num_bins
+    )
+
+    lts = []
+    lsmooths = []
+    lt = ops.gaussian_blur(image, config.base_scale_offset)
+    lts.append(lt)
+    lsmooths.append(lt)  # evolution 0: Lsmooth = Lt (lib.rs:199-201)
+    contrast = contrast0
+    for i in range(1, len(specs)):
+        if specs[i].octave > specs[i - 1].octave:
+            lt = ops.half_size(lt)
+            contrast = contrast * 0.75
+        lsmooth = ops.gaussian_blur(lt, 1.0)
+        lx = ops.scharr_horizontal(lsmooth, 1)
+        ly = ops.scharr_vertical(lsmooth, 1)
+        flow = ops.pm_g2(lx, ly, contrast)
+        for tau in specs[i].fed_tau_steps:
+            lt = ops.fed_step(lt, flow, jnp.float32(tau))
+        lts.append(lt)
+        lsmooths.append(lsmooth)
+
+    # Detector response: multiscale derivatives + Hessian determinant
+    # (detector_response.rs:8-57). Lx/Ly are *overwritten* with the
+    # multiscale versions, which orientation/descriptors then consume.
+    out = []
+    for spec, lt_i, lsm_i in zip(specs, lts, lsmooths):
+        sigma_size = int(round(spec.esigma * config.derivative_factor / spec.ratio))
+        lx = ops.scharr_horizontal(lsm_i, sigma_size)
+        ly = ops.scharr_vertical(lsm_i, sigma_size)
+        lxx = ops.scharr_horizontal(lx, sigma_size)
+        lyy = ops.scharr_vertical(ly, sigma_size)
+        lxy = ops.scharr_vertical(lx, sigma_size)
+        ldet = (lxx * lyy - lxy * lxy) * jnp.float32(float(sigma_size) ** 4)
+        out.append(
+            EvolutionPlanes(spec=spec, lt=lt_i, lsmooth=lsm_i, lx=lx, ly=ly, ldet=ldet)
+        )
+    return out

@@ -1,0 +1,192 @@
+"""Batched 2-D image primitives for the AKAZE scale space.
+
+TPU-native re-design of ``/root/reference/akaze/src/image.rs`` (the SIMD
+separable filters), ``derivatives.rs`` (Scharr), ``nonlinear_diffusion.rs``
+(Perona-Malik g2 + FED step).  Everything operates on ``(..., H, W)`` float32
+arrays: the reference's per-row ``f32x4`` SIMD loops become XLA convolutions /
+fused elementwise stencils that map onto the TPU's VPU, and the leading batch
+dims carry (frame, sublevel) so whole pyramids process at once.
+
+Semantics preserved exactly:
+* separable filters use replicate (edge-clamp) padding (image.rs:232-235)
+* ``half_size`` is a 2x2 box with the reference's odd-edge overwrite rules
+  (image.rs:154-199)
+* ``gaussian_kernel`` is computed in f32 and normalized (image.rs:360-381),
+  radius = ceil(2 sigma) (image.rs:383-389)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_kernel(sigma: float, kernel_size: int) -> np.ndarray:
+    """1-D normalized Gaussian in f32 (image.rs:346-381). Host-side."""
+    assert kernel_size % 2 == 1, "kernel_size must be odd"
+    half = kernel_size // 2
+    x = np.arange(-half, half + 1, dtype=np.float32)
+    sigma = np.float32(sigma)
+    k = (np.float32(1.0) / (np.sqrt(np.float32(2.0 * math.pi)) * sigma)) * np.exp(
+        -(x * x) / (np.float32(2.0) * sigma * sigma)
+    )
+    k = k.astype(np.float32)
+    return k / k.sum()
+
+
+def gaussian_blur_kernel(sigma: float) -> np.ndarray:
+    """Kernel used by ``gaussian_blur`` (image.rs:383-389)."""
+    radius = int(math.ceil(2.0 * float(sigma)))
+    return gaussian_kernel(sigma, 2 * radius + 1)
+
+
+def scharr_main_kernel(sigma_size: int) -> np.ndarray:
+    """Scharr derivative kernel of scale ``sigma_size`` (derivatives.rs:57-79)."""
+    if sigma_size == 1:
+        return np.array([-1.0, 0.0, 1.0], dtype=np.float32)
+    ksize = 3 + 2 * (sigma_size - 1)
+    k = np.zeros(ksize, dtype=np.float32)
+    k[0], k[-1] = -1.0, 1.0
+    return k
+
+
+def scharr_off_kernel(sigma_size: int) -> np.ndarray:
+    """Scharr smoothing kernel of scale ``sigma_size`` (derivatives.rs:57-79)."""
+    if sigma_size == 1:
+        return np.array([3.0, 10.0, 3.0], dtype=np.float32)
+    w = 10.0 / 3.0
+    norm = np.float32(1.0 / (2.0 * float(sigma_size) * (w + 2.0)))
+    ksize = 3 + 2 * (sigma_size - 1)
+    k = np.zeros(ksize, dtype=np.float32)
+    k[0] = k[-1] = norm
+    k[ksize // 2] = norm * np.float32(w)
+    return k
+
+
+def _conv1d(img: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Correlate along ``axis`` (-1 = rows/horizontal, -2 = cols/vertical)
+    with replicate padding, batched over all leading dims.
+
+    Uses a single dot-general-free formulation: XLA lowers the small-kernel
+    convolution to VPU shift+fma chains, which is exactly the reference's
+    SIMD inner loop (image.rs:213-248) in hardware form.
+    """
+    half = kernel.shape[0] // 2
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (half, half)
+    padded = jnp.pad(img, pad, mode="edge")
+    # Accumulate shifted slices * taps. For kernels up to ~71 taps this
+    # unrolls into an fma chain that XLA fuses into one pass.
+    n = img.shape[axis]
+    out = None
+    for i in range(kernel.shape[0]):
+        sl = jax.lax.slice_in_dim(padded, i, i + n, axis=axis)
+        term = sl * kernel[i]
+        out = term if out is None else out + term
+    return out
+
+
+def horizontal_filter(img: jnp.ndarray, kernel) -> jnp.ndarray:
+    """Filter along x (image.rs:202-251)."""
+    return _conv1d(img, jnp.asarray(kernel, img.dtype), axis=-1)
+
+
+def vertical_filter(img: jnp.ndarray, kernel) -> jnp.ndarray:
+    """Filter along y (image.rs:253-331)."""
+    return _conv1d(img, jnp.asarray(kernel, img.dtype), axis=-2)
+
+
+def separable_filter(img: jnp.ndarray, h_kernel, v_kernel) -> jnp.ndarray:
+    """Horizontal then vertical pass (image.rs:333-340)."""
+    return vertical_filter(horizontal_filter(img, h_kernel), v_kernel)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Gaussian blur with radius ceil(2 sigma) (image.rs:383-389)."""
+    k = gaussian_blur_kernel(sigma)
+    return separable_filter(img, k, k)
+
+
+def scharr_horizontal(img: jnp.ndarray, sigma_size: int = 1) -> jnp.ndarray:
+    """d/dx Scharr derivative at scale sigma_size (derivatives.rs:23-35)."""
+    return separable_filter(
+        img, scharr_main_kernel(sigma_size), scharr_off_kernel(sigma_size)
+    )
+
+
+def scharr_vertical(img: jnp.ndarray, sigma_size: int = 1) -> jnp.ndarray:
+    """d/dy Scharr derivative at scale sigma_size (derivatives.rs:45-56)."""
+    return separable_filter(
+        img, scharr_off_kernel(sigma_size), scharr_main_kernel(sigma_size)
+    )
+
+
+def half_size(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box downsample with the reference's odd-edge overwrites
+    (image.rs:154-199)."""
+    h, w = img.shape[-2], img.shape[-1]
+    hh, hw = h // 2, w // 2
+    core = img[..., : hh * 2, : hw * 2]
+    core = core.reshape(core.shape[:-2] + (hh, 2, hw, 2))
+    out = jnp.mean(core, axis=(-3, -1))
+    if h % 2 == 1:
+        last = img[..., -1, : hw * 2].reshape(img.shape[:-2] + (hw, 2))
+        out = out.at[..., -1, :].set(0.5 * jnp.sum(last, axis=-1))
+    if w % 2 == 1:
+        lastc = img[..., : hh * 2, -1].reshape(img.shape[:-2] + (hh, 2))
+        out = out.at[..., :, -1].set(0.5 * jnp.sum(lastc, axis=-1))
+    if h % 2 == 1 and w % 2 == 1:
+        out = out.at[..., -1, -1].set(img[..., -1, -1])
+    return out
+
+
+def pm_g2(lx: jnp.ndarray, ly: jnp.ndarray, k) -> jnp.ndarray:
+    """Perona-Malik g2 conductivity 1/(1 + |grad|^2 / k^2)
+    (nonlinear_diffusion.rs:70-83).  ``k`` may be per-batch (...,)."""
+    inv_k2 = jnp.asarray(1.0 / (k * k), lx.dtype)
+    if inv_k2.ndim:
+        inv_k2 = inv_k2[..., None, None]
+    return 1.0 / (1.0 + inv_k2 * (lx * lx + ly * ly))
+
+
+def fed_step(lt: jnp.ndarray, conductivity: jnp.ndarray, step_size) -> jnp.ndarray:
+    """One explicit FED diffusion step (nonlinear_diffusion.rs:14-58).
+
+    The reference computes half-flows between 4-neighbors and
+    scatter-accumulates them; here the same update is expressed as a fused
+    gather stencil (each output pixel sums its incident flows), which XLA
+    keeps in one VPU pass without materializing flow buffers.
+    """
+    step = jnp.asarray(step_size, lt.dtype)
+    if step.ndim:
+        step = step[..., None, None]
+    c, l = conductivity, lt
+
+    def flow(a_slice, b_slice, ca, cb):
+        return 0.5 * step * (ca + cb) * (b_slice - a_slice)
+
+    # Horizontal flows between (y, x) and (y, x+1): shape (..., H, W-1)
+    hf = flow(l[..., :-1], l[..., 1:], c[..., :-1], c[..., 1:])
+    # Vertical flows between (y, x) and (y+1, x): shape (..., H-1, W)
+    vf = flow(l[..., :-1, :], l[..., 1:, :], c[..., :-1, :], c[..., 1:, :])
+
+    zeros_col = jnp.zeros_like(l[..., :1])
+    zeros_row = jnp.zeros_like(l[..., :1, :])
+    # out = lt + (flow from right neighbor) - (flow into left neighbor) ...
+    out = (
+        l
+        + jnp.concatenate([hf, zeros_col], axis=-1)
+        - jnp.concatenate([zeros_col, hf], axis=-1)
+        + jnp.concatenate([vf, zeros_row], axis=-2)
+        - jnp.concatenate([zeros_row, vf], axis=-2)
+    )
+    return out
+
+
+@partial(jax.jit, static_argnames=("sigma",))
+def _jit_gaussian_blur(img, sigma):
+    return gaussian_blur(img, sigma)

@@ -1,0 +1,95 @@
+"""AKAZE golden regression tests — the port of the reference's frozen-output
+integration test (akaze/tests/estimate_pose.rs:24-77)."""
+
+import numpy as np
+import pytest
+
+from cv_tpu.akaze import Akaze, AkazeExtractor, allocate_evolutions, load_gray
+from cv_tpu.akaze.config import fed_tau_by_process_time
+from cv_tpu.matching import match_descriptors
+
+KITTI0 = "/root/reference/res/0000000000.png"
+KITTI14 = "/root/reference/res/0000000014.png"
+
+
+@pytest.fixture(scope="module")
+def kitti_features():
+    ex = AkazeExtractor(Akaze.sparse())
+    kp0, w0 = ex.extract(load_gray(KITTI0))
+    kp14, w14 = ex.extract(load_gray(KITTI14))
+    return kp0, w0, kp14, w14
+
+
+class TestConfig:
+    def test_allocation_kitti(self):
+        specs = allocate_evolutions(Akaze(), 1392, 512)
+        assert len(specs) == 13  # 4+4+4+1 (min dim 64 at octave 3 -> 1 sublevel)
+        assert [s.octave for s in specs] == [0] * 4 + [1] * 4 + [2] * 4 + [3]
+        assert specs[0].esigma == pytest.approx(1.6)
+        assert specs[4].esigma == pytest.approx(3.2)
+        assert specs[12].esigma == pytest.approx(12.8)
+        assert (specs[1].height, specs[1].width) == (512, 1392)
+        assert (specs[12].height, specs[12].width) == (64, 174)
+        # FED schedules exist for every evolution but the first.
+        assert specs[0].fed_tau_steps == ()
+        assert all(len(s.fed_tau_steps) > 0 for s in specs[1:])
+
+    def test_fed_tau_sums_to_3x_process_time(self):
+        # One FED cycle covers the requested diffusion time; with the
+        # stability limit tau_max the step sum equals T (by construction
+        # scale = 3T/(tau_max n(n+1)) and sum cos^-2 terms = n(n+1)/3 scaled).
+        taus = fed_tau_by_process_time(2.0, 1, 0.25, True)
+        assert taus.sum() == pytest.approx(2.0, rel=1e-9)
+        assert (taus > 0).all()
+
+    def test_presets(self):
+        assert Akaze.sparse().detector_threshold == 0.01
+        assert Akaze.dense().detector_threshold == 0.0001
+        assert Akaze().detector_threshold == 0.001
+
+
+class TestGoldenCounts:
+    def test_keypoint_counts(self, kitti_features):
+        kp0, w0, kp14, w14 = kitti_features
+        # Reference goldens (akaze/tests/estimate_pose.rs:41-42).
+        assert len(kp0["response"]) == 399
+        assert len(kp14["response"]) == 343
+        assert w0.shape == (399, 16)
+        assert w14.shape == (343, 16)
+
+    def test_keypoint_fields(self, kitti_features):
+        kp0, _, _, _ = kitti_features
+        h, w = 512, 1392
+        pts = kp0["point"]
+        assert np.all(pts[:, 0] >= 0) and np.all(pts[:, 0] < w)
+        assert np.all(pts[:, 1] >= 0) and np.all(pts[:, 1] < h)
+        # Responses sorted descending (lib.rs:326).
+        assert np.all(np.diff(kp0["response"]) <= 0)
+        assert np.all(kp0["response"] > 0.01)  # sparse threshold
+        assert np.all((kp0["angle"] >= 0) & (kp0["angle"] < 2 * np.pi + 1e-5))
+        assert set(np.unique(kp0["octave"])) <= {0, 1, 2, 3}
+        # size = esigma * derivative_factor * 2
+        assert np.all(kp0["size"] >= 1.6 * 1.5 * 2 - 1e-3)
+
+    def test_matching_golden(self, kitti_features):
+        _, w0, _, w14 = kitti_features
+        ia, ib = match_descriptors(w0, w14)
+        # Reference golden (akaze/tests/estimate_pose.rs:59).
+        assert len(ia) == 11
+
+
+class TestEdgeCases:
+    def test_image_too_small(self):
+        ex = AkazeExtractor(Akaze.sparse())
+        kp, words = ex.extract(np.zeros((30, 30), np.uint8))
+        assert len(kp["response"]) == 0 and words.shape == (0, 16)
+
+    def test_constant_image(self):
+        ex = AkazeExtractor(Akaze.sparse())
+        kp, words = ex.extract(np.full((64, 96), 128, np.uint8))
+        assert len(kp["response"]) == 0
+
+    def test_maximum_features_truncation(self):
+        ex = AkazeExtractor(Akaze(detector_threshold=0.01, maximum_features=5))
+        kp, words = ex.extract(load_gray(KITTI0))
+        assert len(kp["response"]) <= 5
