@@ -1,0 +1,5 @@
+"""Batched sample-consensus (RANSAC/ARRSAC-style) model estimation."""
+
+from .batch import BatchConsensus, Estimator
+
+__all__ = ["BatchConsensus", "Estimator"]

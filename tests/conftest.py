@@ -27,3 +27,14 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def kitti_features():
+    """AKAZE sparse features of the two KITTI fixtures (golden: 399/343)."""
+    from cv_tpu.akaze import Akaze, AkazeExtractor, load_gray
+
+    ex = AkazeExtractor(Akaze.sparse())
+    kp0, w0 = ex.extract(load_gray("/root/reference/res/0000000000.png"))
+    kp14, w14 = ex.extract(load_gray("/root/reference/res/0000000014.png"))
+    return kp0, w0, kp14, w14

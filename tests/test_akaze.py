@@ -12,14 +12,6 @@ KITTI0 = "/root/reference/res/0000000000.png"
 KITTI14 = "/root/reference/res/0000000014.png"
 
 
-@pytest.fixture(scope="module")
-def kitti_features():
-    ex = AkazeExtractor(Akaze.sparse())
-    kp0, w0 = ex.extract(load_gray(KITTI0))
-    kp14, w14 = ex.extract(load_gray(KITTI14))
-    return kp0, w0, kp14, w14
-
-
 class TestConfig:
     def test_allocation_kitti(self):
         specs = allocate_evolutions(Akaze(), 1392, 512)
