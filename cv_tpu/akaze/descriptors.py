@@ -125,6 +125,147 @@ def _atan2_cv(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Shared math (gather-source independent)
+# ---------------------------------------------------------------------------
+
+
+def _orientation_from_samples(res_x: jnp.ndarray, res_y: jnp.ndarray) -> jnp.ndarray:
+    """Sliding-window dominant orientation from weighted samples (K, 109)."""
+    angs = _atan2_cv(res_y, res_x)
+    ang1s, ang2s = (jnp.asarray(a) for a in orientation_windows())  # (42,)
+    two_pi = jnp.float32(2.0 * np.pi)
+    a1 = ang1s[None, :, None]
+    a2 = ang2s[None, :, None]
+    ang = angs[:, None, :]
+    in_window = ((a1 < a2) & (a1 < ang) & (ang < a2)) | (
+        (a2 < a1) & (((ang > 0) & (ang < a2)) | ((ang > a1) & (ang < two_pi)))
+    )  # (K, 42, 109)
+    sum_x = jnp.sum(jnp.where(in_window, res_x[:, None, :], 0.0), axis=-1)
+    sum_y = jnp.sum(jnp.where(in_window, res_y[:, None, :], 0.0), axis=-1)
+    val = sum_x * sum_x + sum_y * sum_y  # (K, 42)
+    best = jnp.argmax(val, axis=-1)  # first max wins, matching `val > max`
+    bx = jnp.take_along_axis(sum_x, best[:, None], axis=-1)[:, 0]
+    by = jnp.take_along_axis(sum_y, best[:, None], axis=-1)[:, 0]
+    angle = _atan2_cv(by, bx)
+    # The reference keeps angle 0 when no window beats max=0.
+    return jnp.where(jnp.max(val, axis=-1) > 0.0, angle, 0.0)
+
+
+def _mldb_pack(ri, rx, ry, co, si, pattern_size):
+    """Cell means -> rotated channels -> 486 comparisons -> packed words.
+
+    ``ri``/``rx``/``ry``: (K, n_samples) sampled Lt/Lx/Ly values.
+    ``co``/``si``: (K, 1). Returns (K, 16) uint32.
+    """
+    samples, cell_counts, comparisons = mldb_tables(pattern_size)
+    cell_id = jnp.asarray(samples[:, 0])
+    n_cells = int(cell_counts.shape[0])
+    onehot = (cell_id[None, :] == jnp.arange(n_cells)[:, None]).astype(ri.dtype)
+    inv_counts = (1.0 / cell_counts.astype(np.float32))[None, :]
+    di = (ri @ onehot.T) * inv_counts  # (K, 29)
+    sx = (rx @ onehot.T) * inv_counts
+    sy = (ry @ onehot.T) * inv_counts
+    # Rotate the mean gradient (linear, so mean-then-rotate == rotate-then-
+    # mean): dx stores -rx*si + ry*co, dy stores rx*co + ry*si
+    # (descriptors.rs:160-166).
+    dx = -sx * si + sy * co
+    dy = sx * co + sy * si
+    values = jnp.stack([di, dx, dy], axis=-1)  # (K, 29, 3)
+
+    ci = jnp.asarray(comparisons[:, 0])
+    cj = jnp.asarray(comparisons[:, 1])
+    ch = jnp.asarray(comparisons[:, 2])
+    bits = values[:, ci, ch] > values[:, cj, ch]  # (K, 486)
+
+    n_bits = bits.shape[-1]
+    pad = (-n_bits) % 32
+    bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    bits = bits.reshape(bits.shape[0], -1, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def _mldb_sample_positions(xf, yf, scale, angle, pattern_size):
+    """Rotated grid sample coords: returns (x1, y1) int32 (K, n_samples)."""
+    samples, _, _ = mldb_tables(pattern_size)
+    ks = jnp.asarray(samples[:, 1].astype(np.float32))
+    ls = jnp.asarray(samples[:, 2].astype(np.float32))
+    co = jnp.cos(angle)[:, None]
+    si = jnp.sin(angle)[:, None]
+    sc = scale[:, None]
+    sample_y = yf[:, None] + (ls[None, :] * co + ks[None, :] * si) * sc
+    sample_x = xf[:, None] + (-ls[None, :] * si + ks[None, :] * co) * sc
+    return (
+        round_half_away(sample_x).astype(jnp.int32),
+        round_half_away(sample_y).astype(jnp.int32),
+        co,
+        si,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flat-addressed kernels (one 1-D buffer for ALL evolutions)
+#
+# The throughput path concatenates every evolution's plane into one flat
+# buffer; a keypoint of evolution e addresses pixel (x, y) at
+# ``base[e] + y * width[e] + x``.  This turns the per-octave-group gathers
+# into ONE 1-D gather per plane — the fastest gather form on TPU.
+# ---------------------------------------------------------------------------
+
+
+def orientation_flat(
+    flat_pack: jnp.ndarray,  # (P, 3) packed (Lt, Lx, Ly)
+    base: jnp.ndarray,  # (K,) i32 plane base offset of each keypoint
+    width: jnp.ndarray,  # (K,) i32 plane width
+    height: jnp.ndarray,  # (K,) i32 plane height
+    xf: jnp.ndarray,  # (K,) octave coords
+    yf: jnp.ndarray,
+    s: jnp.ndarray,  # (K,) rounded sampling scale
+) -> jnp.ndarray:
+    di, dj, wt = (jnp.asarray(a) for a in orientation_table())
+    ix = round_half_away(xf[:, None] + di[None, :] * s[:, None]).astype(jnp.int32)
+    iy = round_half_away(yf[:, None] + dj[None, :] * s[:, None]).astype(jnp.int32)
+    ix = jnp.clip(ix, 0, width[:, None] - 1)
+    iy = jnp.clip(iy, 0, height[:, None] - 1)
+    idx = base[:, None] + iy * width[:, None] + ix
+    # One packed gather fetches (Lt, Lx, Ly); the gather cost is index-bound,
+    # so the 3-wide trailing slice is nearly free (measured ~3x over
+    # separate gathers).
+    vals = flat_pack[idx.reshape(-1), 1:]
+    vals = vals.reshape(idx.shape + (2,))
+    res_x = wt[None, :] * vals[..., 0]
+    res_y = wt[None, :] * vals[..., 1]
+    return _orientation_from_samples(res_x, res_y)
+
+
+def mldb_flat(
+    flat_pack: jnp.ndarray,  # (P, 3) packed (Lt, Lx, Ly)
+    base: jnp.ndarray,  # (K,)
+    width: jnp.ndarray,
+    height: jnp.ndarray,
+    xf: jnp.ndarray,
+    yf: jnp.ndarray,
+    scale: jnp.ndarray,
+    angle: jnp.ndarray,
+    pattern_size: int = 10,
+):
+    x1, y1, co, si = _mldb_sample_positions(xf, yf, scale, angle, pattern_size)
+    oob = (
+        (x1 < 0)
+        | (x1 >= width[:, None])
+        | (y1 < 0)
+        | (y1 >= height[:, None])
+    )
+    ok = ~jnp.any(oob, axis=-1)
+    x1 = jnp.clip(x1, 0, width[:, None] - 1)
+    y1 = jnp.clip(y1, 0, height[:, None] - 1)
+    idx = base[:, None] + y1 * width[:, None] + x1
+    vals = flat_pack[idx.reshape(-1), :].reshape(idx.shape + (3,))
+    ri, rx, ry = vals[..., 0], vals[..., 1], vals[..., 2]
+    return _mldb_pack(ri, rx, ry, co, si, pattern_size), ok
+
+
+# ---------------------------------------------------------------------------
 # Batched device kernels (per octave group: planes (S, H, W))
 # ---------------------------------------------------------------------------
 
@@ -149,25 +290,7 @@ def compute_orientations(
     sub_b = sub[:, None]
     res_x = wt[None, :] * lx[sub_b, iy, ix]
     res_y = wt[None, :] * ly[sub_b, iy, ix]
-    angs = _atan2_cv(res_y, res_x)  # (K, 109)
-
-    ang1s, ang2s = (jnp.asarray(a) for a in orientation_windows())  # (42,)
-    two_pi = jnp.float32(2.0 * np.pi)
-    a1 = ang1s[None, :, None]
-    a2 = ang2s[None, :, None]
-    ang = angs[:, None, :]
-    in_window = ((a1 < a2) & (a1 < ang) & (ang < a2)) | (
-        (a2 < a1) & (((ang > 0) & (ang < a2)) | ((ang > a1) & (ang < two_pi)))
-    )  # (K, 42, 109)
-    sum_x = jnp.sum(jnp.where(in_window, res_x[:, None, :], 0.0), axis=-1)
-    sum_y = jnp.sum(jnp.where(in_window, res_y[:, None, :], 0.0), axis=-1)
-    val = sum_x * sum_x + sum_y * sum_y  # (K, 42)
-    best = jnp.argmax(val, axis=-1)  # first max wins, matching `val > max`
-    bx = jnp.take_along_axis(sum_x, best[:, None], axis=-1)[:, 0]
-    by = jnp.take_along_axis(sum_y, best[:, None], axis=-1)[:, 0]
-    angle = _atan2_cv(by, bx)
-    # The reference keeps angle 0 when no window beats max=0.
-    return jnp.where(jnp.max(val, axis=-1) > 0.0, angle, 0.0)
+    return _orientation_from_samples(res_x, res_y)
 
 
 def compute_mldb_descriptors(
@@ -186,19 +309,7 @@ def compute_mldb_descriptors(
     any sample falls out of bounds (the reference drops such keypoints,
     descriptors.rs:131-140)."""
     h, w = lt.shape[-2], lt.shape[-1]
-    samples, cell_counts, comparisons = mldb_tables(pattern_size)
-    cell_id = jnp.asarray(samples[:, 0])
-    ks = jnp.asarray(samples[:, 1].astype(np.float32))
-    ls = jnp.asarray(samples[:, 2].astype(np.float32))
-    n_cells = int(cell_counts.shape[0])
-
-    co = jnp.cos(angle)[:, None]
-    si = jnp.sin(angle)[:, None]
-    sc = scale[:, None]
-    sample_y = yf[:, None] + (ls[None, :] * co + ks[None, :] * si) * sc
-    sample_x = xf[:, None] + (-ls[None, :] * si + ks[None, :] * co) * sc
-    y1 = round_half_away(sample_y).astype(jnp.int32)
-    x1 = round_half_away(sample_x).astype(jnp.int32)
+    x1, y1, co, si = _mldb_sample_positions(xf, yf, scale, angle, pattern_size)
     oob = (x1 < 0) | (x1 >= w) | (y1 < 0) | (y1 >= h)
     ok = ~jnp.any(oob, axis=-1)
     x1 = jnp.clip(x1, 0, w - 1)
@@ -208,29 +319,4 @@ def compute_mldb_descriptors(
     ri = lt[sub_b, y1, x1]  # (K, n_samples)
     rx = lx[sub_b, y1, x1]
     ry = ly[sub_b, y1, x1]
-
-    # Per-cell means via one-hot matmul (29 cells) — MXU-friendly.
-    onehot = (cell_id[None, :] == jnp.arange(n_cells)[:, None]).astype(ri.dtype)
-    inv_counts = (1.0 / cell_counts.astype(np.float32))[None, :]
-    di = (ri @ onehot.T) * inv_counts  # (K, 29)
-    sx = (rx @ onehot.T) * inv_counts
-    sy = (ry @ onehot.T) * inv_counts
-    # Rotate the mean gradient (linear, so mean-then-rotate == rotate-then-
-    # mean): dx stores -rx*si + ry*co, dy stores rx*co + ry*si
-    # (descriptors.rs:160-166).
-    dx = -sx * si + sy * co
-    dy = sx * co + sy * si
-    values = jnp.stack([di, dx, dy], axis=-1)  # (K, 29, 3)
-
-    ci = jnp.asarray(comparisons[:, 0])
-    cj = jnp.asarray(comparisons[:, 1])
-    ch = jnp.asarray(comparisons[:, 2])
-    bits = values[:, ci, ch] > values[:, cj, ch]  # (K, 486)
-
-    n_bits = bits.shape[-1]
-    pad = (-n_bits) % 32
-    bits = jnp.pad(bits, ((0, 0), (0, pad)))
-    bits = bits.reshape(bits.shape[0], -1, 32).astype(jnp.uint32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    words = jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
-    return words, ok
+    return _mldb_pack(ri, rx, ry, co, si, pattern_size), ok

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -176,6 +177,93 @@ def dedup_keypoints_exact(
         "octave": cache_octave[keep],
         "ixy": cache_ixy[keep],
     }
+
+
+def dedup_scan_device(
+    px_cmp: jnp.ndarray,  # (C,) unshifted octave-0 x = x * ratio
+    py_cmp: jnp.ndarray,
+    px_store: jnp.ndarray,  # (C,) shifted octave-0 coords (stored on insert)
+    py_store: jnp.ndarray,
+    resp: jnp.ndarray,  # (C,) f32
+    class_id: jnp.ndarray,  # (C,) i32 evolution index
+    size2: jnp.ndarray,  # (C,) f32 squared dedup radius of the candidate
+    valid: jnp.ndarray,  # (C,) bool (threshold/extremum/border already applied)
+) -> jnp.ndarray:
+    """Exact device replica of the sequential dedup + upper-scale filter.
+
+    Candidates MUST be ordered (evolution-major, row-major pixel order),
+    exactly as the reference's iteration (scale_space_extrema.rs:17-117).
+    Runs as one ``lax.scan`` over candidates maintaining the keypoint cache
+    in fixed-size arrays — vmappable over a frame batch.
+
+    Returns a (C,) bool mask over the *input candidate order*: True for
+    candidates that survive as output keypoints.
+    """
+    c = px_cmp.shape[0]
+    dtype = px_cmp.dtype
+    init = (
+        jnp.full((c,), jnp.inf, dtype),  # cache px (inf => no match)
+        jnp.full((c,), jnp.inf, dtype),  # cache py
+        jnp.zeros((c,), resp.dtype),  # cache resp
+        jnp.full((c,), -2, jnp.int32),  # cache class (-2 never matches)
+        jnp.zeros((c,), jnp.int32),  # cache src candidate index
+        jnp.int32(0),  # count
+    )
+    idxs = jnp.arange(c, dtype=jnp.int32)
+
+    def step(state, cand):
+        cpx, cpy, cresp, ccls, csrc, count = state
+        i, pxc, pyc, pxs, pys, r, cls, s2, ok = cand
+        cls_ok = (ccls == cls) | (ccls == cls - 1)
+        dx = pxc - cpx
+        dy = pyc - cpy
+        close = cls_ok & ((dx * dx + dy * dy) <= s2)
+        exists = jnp.any(close)
+        first = jnp.argmax(close)
+        prev_resp = cresp[first]
+        is_rep = exists & (r > prev_resp)
+        dropped = (exists & ~is_rep) | ~ok
+        slot = jnp.where(is_rep, first, count)
+        write = ~dropped
+        # Predicated in-place cache update.
+        old = (cpx[slot], cpy[slot], cresp[slot], ccls[slot], csrc[slot])
+        cpx = cpx.at[slot].set(jnp.where(write, pxs, old[0]))
+        cpy = cpy.at[slot].set(jnp.where(write, pys, old[1]))
+        cresp = cresp.at[slot].set(jnp.where(write, r, old[2]))
+        ccls = ccls.at[slot].set(jnp.where(write, cls, old[3]))
+        csrc = csrc.at[slot].set(jnp.where(write, i, old[4]))
+        count = count + jnp.where(write & ~is_rep, 1, 0).astype(jnp.int32)
+        return (cpx, cpy, cresp, ccls, csrc, count), None
+
+    (cpx, cpy, cresp, ccls, csrc, count), _ = jax.lax.scan(
+        step,
+        init,
+        (idxs, px_cmp, py_cmp, px_store, py_store, resp, class_id, size2, valid),
+    )
+
+    # Upper-scale suppression over the final cache (":120-140"): entry i is
+    # dropped when a *later slot* j of class_id+1 within radius size_i has
+    # response >= resp_i.
+    slot_used = jnp.arange(c) < count
+    size2_cache = size2[csrc]
+    dx = cpx[:, None] - cpx[None, :]
+    dy = cpy[:, None] - cpy[None, :]
+    dist2 = dx * dx + dy * dy
+    later = jnp.arange(c)[None, :] > jnp.arange(c)[:, None]
+    upper = ccls[None, :] == (ccls[:, None] + 1)
+    hit = (
+        later
+        & upper
+        & (dist2 <= size2_cache[:, None])
+        & (cresp[:, None] <= cresp[None, :])
+        & slot_used[None, :]
+    )
+    keep = slot_used & ~jnp.any(hit, axis=-1)
+    # Scatter back to candidate order. Unused slots all carry csrc == 0, so
+    # use a max-scatter to avoid them clobbering candidate 0.
+    out = jnp.zeros((c,), jnp.int32)
+    out = out.at[csrc].max((keep & slot_used).astype(jnp.int32))
+    return out > 0
 
 
 def subpixel_refine_batch(

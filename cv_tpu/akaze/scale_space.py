@@ -53,30 +53,35 @@ def compute_contrast_factor(
     ly = ops.scharr_vertical(g, 1)
     mag2 = (lx * lx + ly * ly)[..., 1:-1, 1:-1]
     batch = mag2.shape[:-2]
-    flat2 = mag2.reshape((-1,) + (mag2.shape[-2] * mag2.shape[-1],))
-    flat2 = flat2.astype(jnp.float64)
+    # Histogram math follows the reference in f64 when x64 is enabled (the
+    # CPU parity path); on the TPU fast path it runs in f32 — the k-bin
+    # selection is a quantile and is insensitive at that precision (verified
+    # against the 399/343 goldens).
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    flat2 = mag2.reshape((-1,) + (mag2.shape[-2] * mag2.shape[-1],)).astype(ftype)
 
     def one_frame(m2):
-        hmax2 = jnp.max(m2)
-        hmax = jnp.sqrt(hmax2)
+        hmax = jnp.sqrt(jnp.max(m2))
         modg = jnp.sqrt(m2)
         nonzero = modg != 0.0
-        safe_hmax = jnp.where(hmax == 0, 1.0, hmax)
-        binnum = jnp.floor(num_bins * (modg / safe_hmax)).astype(jnp.int32)
-        binnum = jnp.minimum(binnum, num_bins - 1)
-        # Route zero-gradient pixels to a dump bin past the histogram.
-        binnum = jnp.where(nonzero, binnum, num_bins)
-        hist = jnp.bincount(binnum, length=num_bins + 1)[:num_bins]
         num_points = jnp.sum(nonzero)
-        threshold = jnp.floor(num_points.astype(jnp.float64) * percentile)
-        csum = jnp.cumsum(hist).astype(jnp.float64)
-        # k = number of bins consumed before the cumulative count reaches the
-        # threshold (contrast_factor.rs:49-54); threshold 0 consumes none.
-        reached = csum >= threshold
-        k = jnp.where(threshold > 0, jnp.argmax(reached) + 1, 0)
-        result = hmax * k.astype(jnp.float64) / num_bins
-        # Fallback 0.03 when the percentile is never reached.
-        return jnp.where(csum[-1] >= threshold, result, 0.03)
+        threshold = jnp.floor(num_points.astype(ftype) * percentile).astype(jnp.int32)
+        # The reference walks a 300-bin histogram until the cumulative count
+        # reaches the threshold (contrast_factor.rs:49-54). The first bin k
+        # whose cumulative count reaches T satisfies k - 1 = bin(v*), where
+        # v* is the T-th smallest nonzero gradient magnitude — a quantile.
+        # Sorting replaces the scatter-add histogram (slow on TPU).
+        sorted_modg = jnp.sort(jnp.where(nonzero, modg, jnp.inf))
+        vstar = sorted_modg[jnp.maximum(threshold - 1, 0)]
+        safe_hmax = jnp.where(hmax == 0, 1.0, hmax)
+        bin_v = jnp.minimum(
+            jnp.floor(num_bins * (vstar / safe_hmax)).astype(jnp.int32),
+            num_bins - 1,
+        )
+        k = jnp.where(threshold > 0, bin_v + 1, 0)
+        # Fallback 0.03 when the percentile is never reached (empty image).
+        result = hmax * k.astype(ftype) / num_bins
+        return jnp.where(num_points >= threshold, result, 0.03)
 
     result = jax.vmap(one_frame)(flat2)
     return result.reshape(batch).astype(image.dtype)

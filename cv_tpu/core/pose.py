@@ -128,7 +128,8 @@ class Isometry3:
             jnp.einsum("...ij,...j->...i", self.rotation, hp[..., :3])
             + self.translation * hp[..., 3:4]
         )
-        return jnp.concatenate([xyz, hp[..., 3:4]], axis=-1)
+        w = jnp.broadcast_to(hp[..., 3:4], xyz.shape[:-1] + (1,))
+        return jnp.concatenate([xyz, w], axis=-1)
 
     def transform_jacobians(self, hp: jnp.ndarray):
         """Transform + Jacobians w.r.t. input point and pose (pose.rs:70-90).

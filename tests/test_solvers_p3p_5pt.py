@@ -1,0 +1,202 @@
+"""Tests for Lambda-Twist P3P and Nister-Stewenius five-point."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cv_tpu.camera import essential
+from cv_tpu.consensus import BatchConsensus, Estimator
+from cv_tpu.core import (
+    CameraToCamera,
+    Isometry3,
+    lie,
+    projective,
+    world_to_camera_residual,
+)
+from cv_tpu.solvers import lambda_twist, nister_stewenius
+
+
+def euler_rotation(r, p, y):
+    """nalgebra from_euler_angles (roll, pitch, yaw) = Rz Ry Rx."""
+    rx = lie.so3_exp(jnp.asarray([r, 0.0, 0.0]))
+    ry = lie.so3_exp(jnp.asarray([0.0, p, 0.0]))
+    rz = lie.so3_exp(jnp.asarray([0.0, 0.0, y]))
+    return rz @ ry @ rx
+
+
+class TestLambdaTwist:
+    def test_manual_reference_case(self):
+        """Port of lambda-twist/tests/consensus.rs:19-66: recover an exact
+        pose from 3 points to 1e-6."""
+        rot = euler_rotation(0.1, 0.2, 0.3)
+        t = jnp.asarray([0.1, 0.2, 0.3])
+        cam_pts = jnp.asarray(
+            [
+                [-0.228125, -0.061458334, 1.0],
+                [0.41875, -0.58125, 2.0],
+                [1.128125, 0.878125, 3.0],
+            ]
+        )
+        pose = Isometry3.from_parts(t, rot)
+        world = pose.inverse().apply(cam_pts)
+        bearings = cam_pts / jnp.linalg.norm(cam_pts, axis=-1, keepdims=True)
+        poses, valid = lambda_twist.estimate(
+            bearings, projective.from_point(world)
+        )
+        errs = [
+            (
+                float(jnp.linalg.norm(poses.rotation[i] - rot)),
+                float(jnp.linalg.norm(poses.translation[i] - t)),
+            )
+            for i in range(4)
+            if bool(valid[i])
+        ]
+        assert errs
+        best = min(errs)
+        assert best[0] < 1e-6 and best[1] < 1e-6
+
+    def test_randomized_batch(self, rng):
+        n = 200
+        rots = lie.so3_exp(jnp.asarray(rng.normal(size=(n, 3)) * 0.5))
+        ts = jnp.asarray(rng.normal(size=(n, 3)))
+        poses_true = Isometry3.from_parts(ts, rots)
+        cam_pts = jnp.asarray(rng.uniform([-1, -1, 1], [1, 1, 6], (n, 3, 3)))
+        world = Isometry3(
+            rotation=poses_true.rotation[:, None],
+            translation=poses_true.translation[:, None],
+        ).inverse().apply(cam_pts)
+        bearings = cam_pts / jnp.linalg.norm(cam_pts, axis=-1, keepdims=True)
+        poses, valid = lambda_twist.estimate(bearings, projective.from_point(world))
+        rot_err = jnp.linalg.norm(
+            poses.rotation - rots[:, None], axis=(-1, -2)
+        )
+        t_err = jnp.linalg.norm(poses.translation - ts[:, None], axis=-1)
+        best = jnp.min(jnp.where(valid, rot_err + t_err, jnp.inf), axis=-1)
+        assert float(jnp.mean(best < 1e-6)) > 0.99
+
+    def test_degenerate_infinite_point(self):
+        bearings = jnp.asarray(np.eye(3))
+        wp = projective.from_point(jnp.asarray([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]))
+        wp = wp.at[0, 3].set(0.0)  # point at infinity
+        _, valid = lambda_twist.estimate(bearings, wp)
+        assert not bool(valid.any())
+
+    def test_consensus_with_p3p(self, rng):
+        """ARRSAC slot + P3P finds the exact pose among outliers."""
+        rot = euler_rotation(0.1, 0.2, 0.3)
+        t = jnp.asarray([0.1, 0.2, 0.3])
+        pose_true = Isometry3.from_parts(t, rot)
+        n = 64
+        cam_pts = jnp.asarray(rng.uniform([-1, -1, 1], [1, 1, 6], (n, 3)))
+        world = pose_true.inverse().apply(cam_pts)
+        bearings = cam_pts / jnp.linalg.norm(cam_pts, axis=-1, keepdims=True)
+        wp = projective.from_point(world)
+        # Corrupt 16 of them.
+        wp = wp.at[:16, :3].set(
+            projective.from_point(jnp.asarray(rng.normal(size=(16, 3)) * 3))[:, :3]
+        )
+        est = Estimator(
+            min_samples=3,
+            models_per_sample=4,
+            estimate=lambda s: lambda_twist.estimate(s[0], s[1])[0],
+            residual=lambda m, d: world_to_camera_residual(
+                Isometry3(
+                    rotation=m.rotation[..., None, :, :],
+                    translation=m.translation[..., None, :],
+                ),
+                d[0],
+                d[1],
+            ),
+        )
+        cons = BatchConsensus(threshold=1e-9, hypotheses=256)
+        model, mask, count = cons.model_inliers(
+            jax.random.key(3), est, (bearings, wp)
+        )
+        assert int(count) >= 48
+        assert float(jnp.linalg.norm(model.rotation - rot)) < 1e-6
+        assert float(jnp.linalg.norm(model.translation - t)) < 1e-6
+
+
+class TestNisterStewenius:
+    def test_exact_data_batch_recovers_pose(self, rng):
+        """Batched pose recovery: the true pose must appear among the 40
+        candidates in the overwhelming majority of random problems.  (The
+        epipolar residual alone is NOT a sufficient check: any member of the
+        5-point nullspace satisfies it.)"""
+        n = 100
+        aa, bb, rts, tts = [], [], [], []
+        for _ in range(n):
+            pose = CameraToCamera.from_parts(
+                jnp.asarray(rng.normal(size=3)),
+                lie.so3_exp(jnp.asarray(rng.normal(size=3) * 0.2)),
+            )
+            pts = rng.uniform([-2, -2, 3], [2, 2, 8], (5, 3))
+            a_h = projective.from_point(jnp.asarray(pts))
+            b_h = pose.transform(a_h)
+            aa.append(projective.bearing(a_h))
+            bb.append(projective.bearing(b_h))
+            rts.append(pose.rotation)
+            tts.append(pose.translation)
+        a, b = jnp.stack(aa), jnp.stack(bb)
+        rt, tt = jnp.stack(rts), jnp.stack(tts)
+        poses, valid = nister_stewenius.estimate(a, b)
+        rot_err = jnp.linalg.norm(
+            lie.so3_log(jnp.swapaxes(poses.rotation, -1, -2) @ rt[:, None]),
+            axis=-1,
+        )
+        tn = tt / jnp.linalg.norm(tt, axis=-1, keepdims=True)
+        te = poses.translation / jnp.linalg.norm(
+            poses.translation, axis=-1, keepdims=True
+        )
+        t_err = jnp.linalg.norm(te - tn[:, None], axis=-1)
+        best = jnp.min(jnp.where(valid, rot_err + t_err, jnp.inf), axis=-1)
+        assert float(jnp.mean(best < 1e-4)) > 0.9
+
+    def test_recovered_matrices_are_essential(self, rng):
+        pose = CameraToCamera.from_parts(
+            jnp.asarray([0.4, -0.2, 0.1]), lie.so3_exp(jnp.asarray([0.05, 0.1, -0.08]))
+        )
+        pts = rng.uniform([-2, -2, 3], [2, 2, 8], (5, 3))
+        a_h = projective.from_point(jnp.asarray(pts))
+        b_h = pose.transform(a_h)
+        e, valid = nister_stewenius.essentials_from_matches(
+            projective.bearing(a_h), projective.bearing(b_h)
+        )
+        sv = np.linalg.svd(np.asarray(e), compute_uv=False)
+        v = np.asarray(valid)
+        # sigma3 ~ 0 and sigma1 ~ sigma2 for every valid solution.
+        assert np.all(sv[v, 2] < 1e-8 * sv[v, 0])
+        assert np.allclose(sv[v, 0], sv[v, 1], rtol=1e-6)
+
+    def test_estimate_recovers_pose(self, rng):
+        pose = CameraToCamera.from_parts(
+            jnp.asarray([0.4, -0.2, 0.1]),
+            lie.so3_exp(jnp.asarray([0.05, 0.1, -0.08])),
+        )
+        pts = rng.uniform([-2, -2, 3], [2, 2, 8], (5, 3))
+        a_h = projective.from_point(jnp.asarray(pts))
+        b_h = pose.transform(a_h)
+        a, b = projective.bearing(a_h), projective.bearing(b_h)
+        poses, valid = nister_stewenius.estimate(a, b)
+        assert poses.rotation.shape == (40, 3, 3)
+        rot_err = jnp.linalg.norm(
+            lie.so3_log(jnp.swapaxes(poses.rotation, -1, -2) @ pose.rotation),
+            axis=-1,
+        )
+        t_true = pose.translation / jnp.linalg.norm(pose.translation)
+        t_est = poses.translation / jnp.linalg.norm(
+            poses.translation, axis=-1, keepdims=True
+        )
+        t_err = jnp.linalg.norm(t_est - t_true, axis=-1)
+        combined = jnp.where(valid, rot_err + t_err, jnp.inf)
+        assert float(jnp.min(combined)) < 1e-4
+
+    def test_garbage_input_no_crash(self, rng):
+        a = jnp.asarray(rng.normal(size=(5, 3)))
+        a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+        poses, valid = nister_stewenius.estimate(a, a)  # degenerate: b == a
+        assert poses.rotation.shape == (40, 3, 3)
+        # No NaNs among entries marked valid.
+        ok_rot = poses.rotation[valid]
+        assert bool(jnp.all(jnp.isfinite(ok_rot)))
