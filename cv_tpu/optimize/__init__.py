@@ -1,0 +1,18 @@
+"""Pose optimizers (cv-optimize): single-view PnP refinement and three-view
+relative-pose gradient descent (L1/L2/adaptive)."""
+
+from .optimizers import (
+    single_view_simple_optimize_l1,
+    single_view_simple_optimize_l2,
+    three_view_adaptive_optimize_l2,
+    three_view_simple_optimize_l1,
+    three_view_simple_optimize_l2,
+)
+
+__all__ = [
+    "single_view_simple_optimize_l1",
+    "single_view_simple_optimize_l2",
+    "three_view_simple_optimize_l1",
+    "three_view_simple_optimize_l2",
+    "three_view_adaptive_optimize_l2",
+]
