@@ -1,0 +1,7 @@
+"""The incremental vSLAM/SfM reconstruction engine (cv-sfm)."""
+
+from .data import VSlamData
+from .engine import VSlam
+from .settings import VSlamSettings
+
+__all__ = ["VSlam", "VSlamData", "VSlamSettings"]

@@ -1,0 +1,1214 @@
+"""The incremental vSLAM/SfM engine.
+
+Re-design of ``/root/reference/cv-sfm/src/lib.rs:724-3149`` (``VSlam``).  The
+control flow — registration cascades, landmark merging/splitting, constraint
+generation, rollback on failure — is host Python over the NumPy data model
+(:mod:`cv_tpu.sfm.data`); every dense computation dispatches to batched
+device kernels:
+
+* feature extraction: :mod:`cv_tpu.akaze`
+* descriptor matching: Hamming matmuls (:mod:`cv_tpu.matching`)
+* pose estimation: batched consensus + eight-point / Lambda-Twist
+* pose refinement: the :mod:`cv_tpu.optimize` while_loop optimizers
+* graph bundle adjustment: one jitted fori_loop over all views and edges
+  (:func:`graph_ba_device`)
+
+The reference's injected generics (Consensus/Estimator/Triangulator) map to
+constructor arguments with the same roles.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..akaze import Akaze, AkazeExtractor
+from ..camera import CameraIntrinsicsK1Distortion
+from ..consensus import BatchConsensus, Estimator
+from ..core import Isometry3, camera_to_camera_residual, world_to_camera_residual
+from ..matching.hamming import distance_matrix
+from ..optimize import (
+    single_view_simple_optimize_l2,
+    three_view_adaptive_optimize_l2,
+    three_view_simple_optimize_l2,
+)
+from ..solvers import eight_point, lambda_twist
+from . import host_geom, se3
+from .bicubic import bicubic_colors
+from .data import Feed, VSlamData, canonical_view_order, ThreeViewConstraint
+from .settings import VSlamSettings
+
+log = logging.getLogger("cv_tpu.sfm")
+
+
+def _bucket(n, minimum=64):
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pose_to_device(p):
+    return Isometry3(rotation=jnp.asarray(p[0]), translation=jnp.asarray(p[1]))
+
+
+def _pose_from_device(p: Isometry3):
+    return (np.asarray(p.rotation, np.float64), np.asarray(p.translation, np.float64))
+
+
+# ---------------------------------------------------------------------------
+# Device kernels with static-shape buckets
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("iterations", "rate"))
+def graph_ba_device(rot, trans, edge_to, edge_from, edge_rot, edge_t, edge_valid,
+                    iterations, rate):
+    """Graph bundle adjustment (lib.rs:1892-1936, 2382-2414, 2543-2567).
+
+    ``rot``/``trans``: (V, 3, 3)/(V, 3) world-to-view poses;
+    ``edge_*``: (E,) directed constraints with the expected other->view
+    isometries.  Runs ``iterations`` rounds: per view, sum the se(3) logs of
+    ``expected_other_to_view . world_to_other . view_to_world^-1`` over its
+    incident edges, scale by ``rate``, and left-apply.  Views whose delta
+    goes non-finite are removed (sticky mask) along with their edges.
+    """
+    v_count = rot.shape[0]
+    has_edge = (
+        jnp.zeros((v_count,), bool).at[edge_to].max(edge_valid)
+    )
+
+    from ..core.lie import so3_exp, so3_log
+
+    def body(_, state):
+        rot, trans, removed = state
+        # Edge deltas: expected (Re, te) . world_to_other . inverse(view)
+        r_from = rot[edge_from]
+        t_from = trans[edge_from]
+        r_to = rot[edge_to]
+        t_to = trans[edge_to]
+        # world_to_other . view_to_world: R = Rf Rt^T, t = tf - Rf Rt^T tt
+        r_rel = r_from @ jnp.swapaxes(r_to, -1, -2)
+        t_rel = t_from - jnp.einsum("...ij,...j->...i", r_rel, t_to)
+        # expected . rel
+        r_d = edge_rot @ r_rel
+        t_d = jnp.einsum("...ij,...j->...i", edge_rot, t_rel) + edge_t
+        se3_log = jnp.concatenate([t_d, so3_log(r_d)], axis=-1)  # (E, 6)
+        ok_edge = edge_valid & ~removed[edge_from] & ~removed[edge_to]
+        se3_log = jnp.where(ok_edge[:, None], se3_log, 0.0)
+        net = jnp.zeros((v_count, 6), rot.dtype).at[edge_to].add(se3_log) * rate
+        finite = jnp.all(jnp.isfinite(net), axis=-1) & has_edge & ~removed
+        # Apply: new pose = from_se3(net) . pose
+        dr = so3_exp(net[:, 3:6])
+        dt = net[:, 0:3]
+        new_rot = dr @ rot
+        new_trans = jnp.einsum("...ij,...j->...i", dr, trans) + dt
+        rot = jnp.where(finite[:, None, None], new_rot, rot)
+        trans = jnp.where(finite[:, None], new_trans, trans)
+        removed = removed | (~finite)
+        return rot, trans, removed
+
+    removed0 = ~has_edge
+    rot, trans, removed = jax.lax.fori_loop(
+        0, iterations, body, (rot, trans, removed0)
+    )
+    return rot, trans, removed
+
+
+class VSlam:
+    """The reconstruction engine (lib.rs:724-790)."""
+
+    def __init__(
+        self,
+        data: VSlamData | None = None,
+        settings: VSlamSettings | None = None,
+        seed: int = 0,
+        single_view_hypotheses: int = 1024,
+        two_view_hypotheses: int = 2048,
+        extractor_cls=AkazeExtractor,
+    ):
+        self.data = data or VSlamData()
+        self.settings = settings or VSlamSettings()
+        self.rng = np.random.default_rng(seed)
+        self._key = jax.random.key(seed)
+        self.single_view_consensus = BatchConsensus(
+            threshold=self.settings.single_view_consensus_threshold,
+            hypotheses=single_view_hypotheses,
+        )
+        self.two_view_consensus = BatchConsensus(
+            threshold=self.settings.two_view_consensus_threshold,
+            hypotheses=two_view_hypotheses,
+        )
+        self._extractor = extractor_cls(
+            Akaze(
+                detector_threshold=self.settings.akaze_threshold,
+                maximum_features=self.settings.tracking_features,
+            )
+        )
+        self._eight_point_estimator = Estimator(
+            min_samples=8,
+            models_per_sample=4,
+            estimate=lambda s: eight_point.estimate(s[0], s[1]),
+            residual=lambda m, d: camera_to_camera_residual(
+                Isometry3(
+                    rotation=m.rotation[..., None, :, :],
+                    translation=m.translation[..., None, :],
+                ),
+                d[0],
+                d[1],
+            ),
+        )
+
+        def _p3p_estimate(s):
+            poses, valid = lambda_twist.estimate(s[0], s[1])
+            # Poison invalid candidate poses so their residuals are infinite.
+            bad = ~valid
+            return Isometry3(
+                rotation=jnp.where(bad[..., None, None], jnp.nan, poses.rotation),
+                translation=jnp.where(bad[..., None], jnp.nan, poses.translation),
+            )
+
+        self._p3p_estimator = Estimator(
+            min_samples=3,
+            models_per_sample=4,
+            estimate=_p3p_estimate,
+            residual=lambda m, d: world_to_camera_residual(
+                Isometry3(
+                    rotation=m.rotation[..., None, :, :],
+                    translation=m.translation[..., None, :],
+                ),
+                d[0],
+                d[1],
+            ),
+        )
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- feeds / frames ------------------------------------------------------
+    def add_feed(self, intrinsics: CameraIntrinsicsK1Distortion) -> int:
+        return self.data.feeds.insert(Feed(intrinsics=intrinsics, frames=[]))
+
+    def add_frame(self, feed: int, image: np.ndarray) -> int:
+        """Extract features, add the frame, and attempt localization
+        (lib.rs:790-809)."""
+        descriptors, bearings, responses, colors = self.kps_descriptors(
+            self.data.feeds[feed].intrinsics, image
+        )
+        frame = self.data.add_frame_features(
+            feed, descriptors, bearings, responses, colors
+        )
+        reconstruction_frames, free_frames = (
+            self.data.find_visually_similar_and_recent_frames(
+                frame,
+                self.settings.tracking_similar_frames,
+                self.settings.tracking_recent_frames,
+                self.settings.tracking_similar_frame_recent_threshold,
+                self.settings.tracking_similar_frame_search_num,
+            )
+        )
+        self.try_localize(frame, reconstruction_frames, free_frames)
+        return frame
+
+    def kps_descriptors(self, intrinsics, image: np.ndarray):
+        """AKAZE extraction + bicubic color sampling + calibration
+        (lib.rs:2195-2236)."""
+        kp, words = self._extractor.extract(image)
+        pts = kp["point"]
+        colors = bicubic_colors(image, pts)
+        bearings = np.asarray(
+            intrinsics.calibrate(jnp.asarray(pts, jnp.float64)), np.float64
+        )
+        # Already sorted by response descending (extractor contract).
+        return words, bearings, kp["response"], colors
+
+    # -- localization cascade (lib.rs:847-958) -------------------------------
+    def try_localize(self, frame, reconstruction_frames, free_frames):
+        recs = sorted(
+            reconstruction_frames.items(), key=lambda kv: -len(kv[1])
+        )
+        for dest_reconstruction, view_matches in recs:
+            if self.data.frames[frame].view is not None:
+                src_reconstruction, view = self.data.frames[frame].view
+                if (
+                    src_reconstruction != dest_reconstruction
+                    and len(self.data.reconstructions[src_reconstruction].views) >= 3
+                    and len(self.data.reconstructions[dest_reconstruction].views) >= 3
+                ):
+                    if (
+                        self.try_merge_reconstructions(
+                            src_reconstruction, view, dest_reconstruction, view_matches
+                        )
+                        is not None
+                    ):
+                        self.optimize_reconstruction(dest_reconstruction)
+            else:
+                if (
+                    self.incorporate_frame(dest_reconstruction, frame, view_matches)
+                    is not None
+                ):
+                    self.optimize_reconstruction(dest_reconstruction)
+
+        if self.data.frames[frame].view is None:
+            self.try_init(frame, free_frames)
+
+        if self.data.frames[frame].view is not None:
+            reconstruction, _ = self.data.frames[frame].view
+            for found in free_frames:
+                if self.data.frames[found].view is not None:
+                    continue
+                self.try_localize_and_incorporate(reconstruction, found)
+                if reconstruction not in self.data.reconstructions:
+                    return None
+        return self.data.frames[frame].view
+
+    def try_localize_and_incorporate(self, reconstruction, frame):
+        view_matches = (
+            self.data.find_visually_similar_and_recent_frames(
+                frame,
+                self.settings.tracking_similar_frames,
+                self.settings.tracking_recent_frames,
+                self.settings.tracking_similar_frame_recent_threshold,
+                self.settings.tracking_similar_frame_search_num,
+            )[0].get(reconstruction)
+        )
+        if not view_matches:
+            log.info("no similar frames in the reconstruction")
+            return None
+        view = self.incorporate_frame(reconstruction, frame, view_matches)
+        if view is None:
+            return None
+        if self.optimize_reconstruction(reconstruction) is None:
+            return None
+        return view
+
+    def try_init(self, center, options):
+        out = self.init_reconstruction(center, options)
+        if out is None:
+            log.info("failed to initialize reconstruction")
+            return None
+        (first, first_pose), (second, second_pose), combined, fm, sm = out
+        return self.data.add_reconstruction(
+            center, first, second, first_pose, second_pose, combined, fm, sm
+        )
+
+    # -- two-view init (lib.rs:1365-1432) -------------------------------------
+    def symmetric_matching(self, frame_a, frame_b):
+        """Mutual-best Hamming matching with margin (lib.rs:3097-3133)."""
+        a = self.data.frames[frame_a]
+        b = self.data.frames[frame_b]
+        if len(a) < 2 or len(b) < 2:
+            return []
+        from ..matching import symmetric_matches
+
+        idx, keep = symmetric_matches(
+            jnp.asarray(a.descriptors),
+            jnp.asarray(b.descriptors),
+            better_by=self.settings.two_view_match_better_by,
+        )
+        keep = np.asarray(keep)
+        idx = np.asarray(idx)
+        ai = np.nonzero(keep)[0]
+        return [[int(i), int(idx[i])] for i in ai]
+
+    def init_two_view(self, a, b):
+        matches = self.symmetric_matching(a, b)
+        log.info("two-view: %d symmetric matches", len(matches))
+        if len(matches) < eight_point.MIN_SAMPLES:
+            return None
+        self.rng.shuffle(matches)
+        fa = self.data.frames[a]
+        fb = self.data.frames[b]
+        ia = np.array([m[0] for m in matches])
+        ib = np.array([m[1] for m in matches])
+        n = len(matches)
+        nb = _bucket(n)
+        pad = nb - n
+        bear_a = np.pad(fa.bearings[ia], ((0, pad), (0, 0)))
+        bear_b = np.pad(fb.bearings[ib], ((0, pad), (0, 0)))
+        model, mask, count = self.two_view_consensus.model_inliers(
+            self._next_key(),
+            self._eight_point_estimator,
+            (jnp.asarray(bear_a), jnp.asarray(bear_b)),
+            n_valid=jnp.int32(n),
+        )
+        if int(count) < self.settings.two_view_minimum_robust_matches:
+            log.info(
+                "two-view inliers %d < %d; rejecting",
+                int(count),
+                self.settings.two_view_minimum_robust_matches,
+            )
+            return None
+        mask = np.asarray(mask)[:n]
+        pose = _pose_from_device(model)
+        inlier_matches = [m for m, ok in zip(matches, mask) if ok]
+        return pose, inlier_matches
+
+    # -- robustness predicates -------------------------------------------------
+    def is_bi_landmark_robust(self, pose, a, b, maximum_sine_distance):
+        """(lib.rs:1306-1317)"""
+        a_in_b = se3.rotate(pose, a)
+        return (
+            host_geom.epipolar_loss(pose[1], a_in_b, b) < maximum_sine_distance
+        )
+
+    def is_tri_landmark_robust(
+        self, first_pose, second_pose, c, f, s,
+        maximum_cosine_distance, incidence_minimum_cosine_distance,
+    ):
+        """(lib.rs:1319-1360)"""
+        point = host_geom.triangulate_observations(
+            [se3.identity(), first_pose, second_pose], [c, f, s]
+        )
+        if point is None:
+            return False
+        f_in_c = se3.inverse(first_pose)[0] @ f
+        s_in_c = se3.inverse(second_pose)[0] @ s
+        cos_ok = (
+            1.0 - float(host_geom.bearing_of(point) @ c) < maximum_cosine_distance
+            and 1.0 - float(host_geom.transform_bearing(first_pose, point) @ f)
+            < maximum_cosine_distance
+            and 1.0 - float(host_geom.transform_bearing(second_pose, point) @ s)
+            < maximum_cosine_distance
+        )
+        inc = incidence_minimum_cosine_distance
+        incidence_ok = (
+            1.0 - float(c @ f_in_c) > inc
+            or 1.0 - float(c @ s_in_c) > inc
+            or 1.0 - float(f_in_c @ s_in_c) > inc
+        )
+        return cos_ok and incidence_ok
+
+    # -- three-view init (lib.rs:966-1304) --------------------------------------
+    def init_reconstruction(self, center, options):
+        two_views = []
+        for option in options:
+            res = self.init_two_view(center, option)
+            if res is not None:
+                pose, matches = res
+                two_views.append((option, pose, matches))
+        settings = self.settings
+        import itertools as it
+
+        for (first, first_pose, first_matches), (
+            second,
+            second_pose,
+            second_matches,
+        ) in it.combinations(two_views, 2):
+            second_map = {c: s for c, s in second_matches}
+            common = [
+                (c, f, second_map[c]) for c, f in first_matches if c in second_map
+            ]
+            self.rng.shuffle(common)
+            fc = self.data.frames[center]
+            ff = self.data.frames[first]
+            fs = self.data.frames[second]
+
+            scales = []
+            for c, f, s in common:
+                bc, bf, bs = fc.bearings[c], ff.bearings[f], fs.bearings[s]
+                if not self.is_tri_landmark_robust(
+                    first_pose, second_pose, bc, bf, bs, 1.0,
+                    settings.robust_observation_incidence_minimum_cosine_distance,
+                ):
+                    continue
+                fp = host_geom.point_of(
+                    host_geom.triangulate_observations(
+                        [se3.identity(), first_pose], [bc, bf]
+                    )
+                )
+                sp = host_geom.point_of(
+                    host_geom.triangulate_observations(
+                        [se3.identity(), second_pose], [bc, bs]
+                    )
+                )
+                if fp is None or sp is None:
+                    continue
+                ratio = float(fp @ fp) / float(sp @ sp)
+                if not np.isfinite(ratio) or ratio <= 0:
+                    continue
+                scales.append(ratio)
+            if len(scales) < settings.three_view_minimum_relative_scales:
+                log.info("not enough relative scales (%d)", len(scales))
+                continue
+            scales.sort()
+            median_scale = float(np.sqrt(scales[len(scales) // 2]))
+            cur_first = first_pose
+            cur_second = se3.scale(second_pose, median_scale)
+
+            def robust_triples(fp, sp, max_cos, inc):
+                out = []
+                for c, f, s in common:
+                    bc, bf, bs = fc.bearings[c], ff.bearings[f], fs.bearings[s]
+                    if self.is_tri_landmark_robust(fp, sp, bc, bf, bs, max_cos, inc):
+                        out.append((bc, bf, bs))
+                        if len(out) >= settings.three_view_optimization_landmarks:
+                            break
+                return out
+
+            opti = robust_triples(
+                cur_first, cur_second, 1.0,
+                settings.robust_observation_incidence_minimum_cosine_distance,
+            )
+            # Robust bearing-pair check (lib.rs:1085-1106).
+            num_robust_pairs = 0
+            thresh = settings.robust_view_bearing_pair_minimum_cosine_distance
+            arr = np.asarray(opti)  # (n, 3, 3)
+            if len(arr):
+                diffs = 1.0 - np.einsum("imk,jmk->ijm", arr, arr)
+                pair_ok = np.all(diffs > thresh, axis=-1)
+                num_robust_pairs = int(np.sum(np.triu(pair_ok, 1)))
+            if num_robust_pairs < settings.robust_view_num_robust_bearing_pair:
+                log.info("not enough robust bearing pairs")
+                return None
+            robust_minimum_matches = len(opti) // 2
+
+            def optimize(fp, sp, triples):
+                n = len(triples)
+                npad = _bucket(n, settings.three_view_optimization_landmarks)
+                obs = np.zeros((npad, 3, 3))
+                obs[:n] = np.asarray(triples)
+                valid = np.zeros(npad, bool)
+                valid[:n] = True
+                o1, o2 = three_view_simple_optimize_l2(
+                    (_pose_to_device(fp), _pose_to_device(sp)),
+                    jnp.asarray(obs),
+                    jnp.asarray(valid),
+                    0.001,
+                    settings.three_view_patience,
+                )
+                return _pose_from_device(o1), _pose_from_device(o2)
+
+            failed = False
+            for _ in range(settings.three_view_filter_loop_iterations):
+                if len(opti) < 32 or len(opti) <= robust_minimum_matches:
+                    log.info("three-view: insufficient robust matches mid-loop")
+                    failed = True
+                    break
+                cur_first, cur_second = optimize(cur_first, cur_second, opti)
+                opti = robust_triples(
+                    cur_first, cur_second, settings.maximum_cosine_distance,
+                    settings.robust_observation_incidence_minimum_cosine_distance,
+                )
+            if failed:
+                continue
+            if len(opti) < 32 or len(opti) <= robust_minimum_matches:
+                log.info("three-view: insufficient robust matches at end")
+                continue
+            cur_first, cur_second = optimize(cur_first, cur_second, opti)
+
+            first_map = {c: f for c, f in first_matches}
+            combined_matches = [
+                (c, f, s)
+                for c, f, s in common
+                if self.is_tri_landmark_robust(
+                    cur_first, cur_second,
+                    fc.bearings[c], ff.bearings[f], fs.bearings[s],
+                    settings.maximum_cosine_distance, 0.0,
+                )
+            ]
+            first_only = [
+                [c, f]
+                for c, f in first_matches
+                if c not in second_map
+                and self.is_bi_landmark_robust(
+                    cur_first, fc.bearings[c], ff.bearings[f],
+                    settings.maximum_sine_distance,
+                )
+            ]
+            second_only = [
+                [c, s]
+                for c, s in second_matches
+                if c not in first_map
+                and self.is_bi_landmark_robust(
+                    cur_second, fc.bearings[c], fs.bearings[s],
+                    settings.maximum_sine_distance,
+                )
+            ]
+            num_robust_matches = sum(
+                1
+                for c, f, s in common
+                if self.is_tri_landmark_robust(
+                    cur_first, cur_second,
+                    fc.bearings[c], ff.bearings[f], fs.bearings[s],
+                    settings.maximum_cosine_distance,
+                    settings.robust_observation_incidence_minimum_cosine_distance,
+                )
+            )
+            log.info(
+                "three-view: %d combined, %d robust, %d first-only, %d second-only",
+                len(combined_matches), num_robust_matches,
+                len(first_only), len(second_only),
+            )
+            if num_robust_matches <= robust_minimum_matches:
+                continue
+            if num_robust_matches < settings.three_view_minimum_robust_matches:
+                continue
+            return (
+                (first, cur_first),
+                (second, cur_second),
+                combined_matches,
+                first_only,
+                second_only,
+            )
+        log.info("no three-view match found")
+        return None
+
+    # -- landmark triangulation helpers (lib.rs:2874-3052) -----------------------
+    def triangulate_landmark(self, reconstruction, landmark):
+        obs = self.data.landmark(reconstruction, landmark).observations
+        if len(obs) < 2:
+            return None
+        pb = self.data.landmark_pose_bearings(reconstruction, landmark)
+        return host_geom.triangulate_observations(
+            [p for p, _ in pb], [b for _, b in pb]
+        )
+
+    def _world_bearings(self, reconstruction, observations):
+        return [
+            se3.inverse(self.data.pose(reconstruction, v))[0]
+            @ self.data.observation_bearing(reconstruction, v, f)
+            for v, f in observations
+        ]
+
+    def are_observations_robust(self, reconstruction, observations):
+        """(lib.rs:2907-2934)"""
+        s = self.settings
+        needed = min(
+            s.robust_minimum_observations,
+            len(self.data.reconstructions[reconstruction].views),
+        )
+        if len(observations) < needed:
+            return False
+        wb = self._world_bearings(reconstruction, observations)
+        thresh = s.robust_observation_incidence_minimum_cosine_distance
+        for i in range(len(wb)):
+            for j in range(i + 1, len(wb)):
+                if 1.0 - float(wb[i] @ wb[j]) > thresh:
+                    return True
+        return False
+
+    def is_landmark_robust(self, reconstruction, landmark):
+        return self.are_observations_robust(
+            reconstruction, self.data.landmark_observations(reconstruction, landmark)
+        )
+
+    def triangulate_landmark_robust(self, reconstruction, landmark):
+        if not self.is_landmark_robust(reconstruction, landmark):
+            return None
+        pb = self.data.landmark_pose_bearings(reconstruction, landmark)
+        return host_geom.triangulate_observations(
+            [p for p, _ in pb], [b for _, b in pb]
+        )
+
+    def is_merged_landmark_robust(self, reconstruction, landmarks):
+        obs = [
+            ob
+            for lm in landmarks
+            for ob in self.data.landmark_observations(reconstruction, lm)
+        ]
+        return self.are_observations_robust(reconstruction, obs)
+
+    def triangulate_merged_landmark_robust(self, reconstruction, landmarks):
+        if not self.is_merged_landmark_robust(reconstruction, landmarks):
+            return None
+        pb = [
+            x
+            for lm in landmarks
+            for x in self.data.landmark_pose_bearings(reconstruction, lm)
+        ]
+        return host_geom.triangulate_observations(
+            [p for p, _ in pb], [b for _, b in pb]
+        )
+
+    def is_observation_consistent(self, pose, bearing, others):
+        """(lib.rs:2937-2967)"""
+        if len(others) == 1:
+            other_pose, other_bearing = others[0]
+            total = se3.compose(other_pose, se3.inverse(pose))
+            return self.is_bi_landmark_robust(
+                total, bearing, other_bearing, self.settings.maximum_sine_distance
+            )
+        all_obs = others + [(pose, bearing)]
+        point = host_geom.triangulate_observations(
+            [p for p, _ in all_obs], [b for _, b in all_obs]
+        )
+        if point is None:
+            return False
+        return all(
+            1.0 - float(host_geom.transform_bearing(p, point) @ b)
+            < self.settings.maximum_cosine_distance
+            for p, b in all_obs
+        )
+
+    def are_landmarks_sharing_view(self, reconstruction, a, b):
+        views_a = set(self.data.landmark(reconstruction, a).observations)
+        return any(
+            v in views_a for v in self.data.landmark(reconstruction, b).observations
+        )
+
+    # -- frame registration (lib.rs:1452-1812) -----------------------------------
+    def register_frame(self, reconstruction, frame, view_matches):
+        original_matches = []
+        n_features = len(self.data.frames[frame])
+        end = min(self.settings.single_view_initial_features, n_features)
+        start = 0
+        while True:
+            success = self.register_frame_subset(
+                reconstruction, frame, view_matches, range(start, end), original_matches
+            )
+            if success is not None:
+                return success
+            if end == n_features:
+                return None
+            start, end = end, min(end * 2, n_features)
+
+    def register_frame_subset(
+        self, reconstruction_key, frame_key, view_matches, add_features, original_matches
+    ):
+        s = self.settings
+        rec = self.data.reconstructions[reconstruction_key]
+        new_frame = self.data.frames[frame_key]
+        feat_range = list(add_features)
+        if feat_range:
+            # 3-NN of each new feature against each matched view's frame
+            # (device Hamming matmuls), then landmark-level dedup + margins.
+            self_desc = jnp.asarray(new_frame.descriptors[feat_range])
+            per_view = []
+            for view_match in view_matches:
+                vframe = self.data.frames[rec.views[view_match].frame]
+                d = distance_matrix(self_desc, jnp.asarray(vframe.descriptors))
+                k = min(3, d.shape[1])
+                neg, idx = jax.lax.top_k(-d, k)
+                per_view.append((view_match, np.asarray(idx), np.asarray(-neg)))
+            for row, self_feature in enumerate(feat_range):
+                landmark_best = {}
+                for view_match, idx, dist in per_view:
+                    lms = rec.views[view_match].landmarks
+                    for j in range(idx.shape[1]):
+                        lm = lms[idx[row, j]]
+                        dd = int(dist[row, j])
+                        if lm not in landmark_best or landmark_best[lm] > dd:
+                            landmark_best[lm] = dd
+                if len(landmark_best) < 3:
+                    continue
+                best = sorted(landmark_best.items(), key=lambda kv: kv[1])[:3]
+                if best[0][1] + s.single_view_match_better_by <= best[1][1]:
+                    original_matches.append(([best[0][0]], self_feature))
+                elif best[1][1] + s.single_view_match_better_by <= best[2][1]:
+                    if not self.are_landmarks_sharing_view(
+                        reconstruction_key, best[0][0], best[1][0]
+                    ):
+                        original_matches.append(
+                            ([best[0][0], best[1][0]], self_feature)
+                        )
+
+        # Deduplicate: a landmark matched by two features is always wrong.
+        matches = list(original_matches)
+        counts = {}
+        for landmarks, _ in matches:
+            for lm in landmarks:
+                counts[lm] = counts.get(lm, 0) + 1
+        matches = [
+            (lms, f) for lms, f in matches if all(counts[lm] == 1 for lm in lms)
+        ]
+        matches.sort(
+            key=lambda m: -sum(
+                len(self.data.landmark(reconstruction_key, lm).observations)
+                for lm in m[0]
+            )
+        )
+        log.info("register: %d deduplicated matches", len(matches))
+
+        def robust_point(landmarks):
+            if len(landmarks) == 1:
+                return self.triangulate_landmark_robust(
+                    reconstruction_key, landmarks[0]
+                )
+            return self.triangulate_merged_landmark_robust(
+                reconstruction_key, landmarks
+            )
+
+        matches_3d = []
+        for landmarks, feature in matches:
+            point = robust_point(landmarks)
+            if point is not None:
+                matches_3d.append((new_frame.bearings[feature], point))
+        if len(matches_3d) < s.single_view_minimum_landmarks:
+            log.info("register: only %d robust landmarks", len(matches_3d))
+            return None
+
+        pose, inlier_mask = self._single_view_consensus(matches_3d)
+        if pose is None:
+            return None
+        matches_3d = [m for m, ok in zip(matches_3d, inlier_mask) if ok][
+            : s.single_view_optimization_num_matches
+        ]
+        robust_minimum_matches = len(matches_3d) // 2
+
+        def optimize(pose, m3d):
+            n = len(m3d)
+            npad = _bucket(n)
+            bear = np.zeros((npad, 3))
+            wp = np.zeros((npad, 4))
+            for i, (b, p) in enumerate(m3d):
+                bear[i] = b
+                wp[i] = p
+            valid = np.zeros(npad, bool)
+            valid[:n] = True
+            out = single_view_simple_optimize_l2(
+                _pose_to_device(pose),
+                jnp.asarray(bear),
+                jnp.asarray(wp),
+                jnp.asarray(valid),
+                s.single_view_optimization_rate,
+                s.single_view_patience,
+            )
+            return _pose_from_device(out)
+
+        def consistent_matches(pose):
+            out = []
+            for landmarks, feature in matches:
+                bearing = new_frame.bearings[feature]
+                others = [
+                    x
+                    for lm in landmarks
+                    for x in self.data.landmark_pose_bearings(reconstruction_key, lm)
+                ]
+                if not self.is_observation_consistent(pose, bearing, others):
+                    continue
+                point = robust_point(landmarks)
+                if point is None:
+                    continue
+                out.append((bearing, point))
+                if len(out) >= s.single_view_optimization_num_matches:
+                    break
+            return out
+
+        for _ in range(s.single_view_filter_loop_iterations):
+            if len(matches_3d) <= robust_minimum_matches:
+                log.info("register: lost too many matches mid-loop")
+                return None
+            pose = optimize(pose, matches_3d)
+            matches_3d = consistent_matches(pose)
+        if len(matches_3d) <= robust_minimum_matches:
+            return None
+        pose = optimize(pose, matches_3d)
+
+        final_robust = 0
+        final_matches = {}
+        for landmarks, feature in matches:
+            bearing = new_frame.bearings[feature]
+            others = [
+                x
+                for lm in landmarks
+                for x in self.data.landmark_pose_bearings(reconstruction_key, lm)
+            ]
+            if not self.is_observation_consistent(pose, bearing, others):
+                continue
+            final_matches[feature] = landmarks
+            if robust_point(landmarks) is not None:
+                final_robust += 1
+        if final_robust <= robust_minimum_matches:
+            return None
+        if len(final_matches) < s.single_view_minimum_robust_landmarks:
+            log.info("register: only %d final matches", len(final_matches))
+            return None
+        return pose, final_matches
+
+    def _single_view_consensus(self, matches_3d):
+        n = len(matches_3d)
+        nb = _bucket(n)
+        bear = np.zeros((nb, 3))
+        wp = np.zeros((nb, 4))
+        for i, (b, p) in enumerate(matches_3d):
+            bear[i] = b
+            wp[i] = p
+        model, mask, count = self.single_view_consensus.model_inliers(
+            self._next_key(),
+            self._p3p_estimator,
+            (jnp.asarray(bear), jnp.asarray(wp)),
+            n_valid=jnp.int32(n),
+        )
+        if int(count) == 0:
+            log.info("single-view consensus found no model")
+            return None, None
+        return _pose_from_device(model), np.asarray(mask)[:n]
+
+    # -- incorporation (lib.rs:2067-2113) -----------------------------------------
+    def incorporate_frame(self, reconstruction, frame, view_matches):
+        result = self.register_frame(reconstruction, frame, view_matches)
+        if result is None:
+            log.info("failed to register frame")
+            return None
+        pose, matches = result
+        view = self.data.add_view(
+            reconstruction, frame, pose, lambda feature: matches.get(feature)
+        )
+        if self.record_view_constraints(reconstruction, view):
+            return view
+        self.data.remove_view(reconstruction, view)
+        return None
+
+    def record_view_constraints(self, reconstruction, view):
+        constraints = self.generate_view_constraints(reconstruction, view)
+        if (
+            len(constraints) < self.settings.optimization_minimum_new_constraints
+            and len(constraints) + 1
+            < len(self.data.reconstructions[reconstruction].views)
+        ):
+            return False
+        for c in constraints:
+            self.data.reconstructions[reconstruction].constraints.insert(c)
+        return True
+
+    # -- constraint generation (lib.rs:2438-2567) -----------------------------------
+    def view_covisibilities(self, reconstruction, view):
+        covis = {}
+        for landmark in self.data.reconstructions[reconstruction].views[view].landmarks:
+            if self.triangulate_landmark_robust(reconstruction, landmark) is None:
+                continue
+            for coview in self.data.landmark(reconstruction, landmark).observations:
+                if coview != view:
+                    covis.setdefault(coview, []).append(landmark)
+        return covis
+
+    def generate_view_constraints(self, reconstruction, view):
+        s = self.settings
+        covis = {
+            k: v
+            for k, v in self.view_covisibilities(reconstruction, view).items()
+            if len(v) >= s.optimization_robust_covisibility_minimum_landmarks
+        }
+        candidates = list(covis)
+        landmark_views = {}
+        for coview, landmarks in covis.items():
+            for lm in landmarks:
+                landmark_views.setdefault(lm, set()).add(coview)
+        import itertools as it
+
+        robust = []
+        for a, b in it.combinations(candidates, 2):
+            covisible = [lm for lm in covis[a] if b in landmark_views[lm]]
+            if len(covisible) >= s.optimization_robust_covisibility_minimum_landmarks:
+                robust.append((canonical_view_order([view, a, b]), covisible))
+        robust.sort(key=lambda x: -len(x[1]))
+
+        visited = set()
+        unique = []
+        for views, lms in robust:
+            if any(v not in visited for v in views):
+                visited.update(views)
+                unique.append((views, lms))
+            if len(unique) >= s.optimization_maximum_three_view_constraints:
+                break
+        rest = [(v, l) for v, l in robust if all(v != u for u, _ in unique)]
+        out = []
+        for views, lms in unique + rest:
+            c = self.optimize_three_view(reconstruction, views, list(lms))
+            if c is not None:
+                out.append(c)
+            if len(out) >= s.optimization_maximum_three_view_constraints:
+                break
+        return out
+
+    def optimize_three_view(self, reconstruction, views, landmarks):
+        """(lib.rs:1939-2062)"""
+        s = self.settings
+        if len(landmarks) < s.optimization_minimum_landmarks:
+            return None
+        poses = [self.data.pose(reconstruction, v) for v in views]
+        first_pose = se3.compose(poses[1], se3.inverse(poses[0]))
+        second_pose = se3.compose(poses[2], se3.inverse(poses[0]))
+        original_scale = float(
+            np.linalg.norm(first_pose[1]) + np.linalg.norm(second_pose[1])
+        )
+        self.rng.shuffle(landmarks)
+        landmarks.sort(
+            key=lambda lm: -len(self.data.landmark(reconstruction, lm).observations)
+        )
+        opti = []
+        for lm in landmarks[: s.optimization_maximum_landmarks]:
+            obs = self.data.landmark(reconstruction, lm).observations
+            opti.append(
+                [
+                    self.data.view_frame(reconstruction, v).bearings[obs[v]]
+                    for v in views
+                ]
+            )
+        arr = np.asarray(opti)
+        thresh = s.robust_view_bearing_pair_minimum_cosine_distance
+        diffs = 1.0 - np.einsum("imk,jmk->ijm", arr, arr)
+        pair_ok = np.all(diffs > thresh, axis=-1)
+        if int(np.sum(np.triu(pair_ok, 1))) < s.robust_view_num_robust_bearing_pair:
+            return None
+
+        n = len(opti)
+        npad = _bucket(n)
+        obs_arr = np.zeros((npad, 3, 3))
+        obs_arr[:n] = arr
+        valid = np.zeros(npad, bool)
+        valid[:n] = True
+        o1, o2 = three_view_adaptive_optimize_l2(
+            (_pose_to_device(first_pose), _pose_to_device(second_pose)),
+            jnp.asarray(obs_arr),
+            jnp.asarray(valid),
+            s.constraint_patience,
+        )
+        first_pose = _pose_from_device(o1)
+        second_pose = _pose_from_device(o2)
+        final_scale = float(
+            np.linalg.norm(first_pose[1]) + np.linalg.norm(second_pose[1])
+        )
+        if final_scale == 0 or not np.isfinite(final_scale):
+            return None
+        rel = original_scale / final_scale
+        return ThreeViewConstraint(
+            views=tuple(views),
+            poses=(se3.scale(first_pose, rel), se3.scale(second_pose, rel)),
+        )
+
+    # -- reconstruction merging (lib.rs:1817-1887, 2116-2193) -----------------------
+    def try_merge_reconstructions(
+        self, src_reconstruction, src_view, dest_reconstruction, dest_view_matches
+    ):
+        frame = self.data.view(src_reconstruction, src_view).frame
+        src_pose = self.data.view(src_reconstruction, src_view).pose
+        result = self.register_frame(dest_reconstruction, frame, dest_view_matches)
+        if result is None:
+            return None
+        dest_pose, matches = result
+        dest_view = self.data.add_view(
+            dest_reconstruction, frame, dest_pose, lambda f: matches.get(f)
+        )
+        if not self.record_view_constraints(dest_reconstruction, dest_view):
+            self.data.remove_view(dest_reconstruction, dest_view)
+            self.data.frames[frame].view = (src_reconstruction, src_view)
+            return None
+        dest_pose = self.data.view(dest_reconstruction, dest_view).pose
+        src_landmarks = self.data.view(src_reconstruction, src_view).landmarks
+        landmark_map = {
+            src_landmarks[f]: lms[0] for f, lms in matches.items()
+        }
+        del self.data.reconstructions[src_reconstruction].views[src_view]
+        # WorldToWorld from the two poses (pose.rs:322-324).
+        world_transform = se3.compose(se3.inverse(dest_pose), src_pose)
+        self.incorporate_reconstruction(
+            src_reconstruction, dest_reconstruction, world_transform, landmark_map
+        )
+        return dest_reconstruction
+
+    def incorporate_reconstruction(
+        self, src_reconstruction, dest_reconstruction, world_transform, landmark_map
+    ):
+        dest_to_src = se3.inverse(world_transform)
+        src_views = list(self.data.reconstructions[src_reconstruction].views)
+        dest_views = []
+        for src_view in src_views:
+            frame = self.data.view(src_reconstruction, src_view).frame
+            pose = se3.compose(
+                self.data.view(src_reconstruction, src_view).pose, dest_to_src
+            )
+            rec = self.data.reconstructions[dest_reconstruction]
+            from .data import View
+
+            dest_view = rec.views.insert(View(frame=frame, pose=pose, landmarks=[]))
+            dest_views.append(dest_view)
+            self.data.frames[frame].view = (dest_reconstruction, dest_view)
+            for feature in range(len(self.data.frames[frame])):
+                src_landmark = self.data.observation_landmark(
+                    src_reconstruction, src_view, feature
+                )
+                if src_landmark in landmark_map:
+                    dest_landmark = landmark_map[src_landmark]
+                    self.data.landmark(
+                        dest_reconstruction, dest_landmark
+                    ).observations[dest_view] = feature
+                else:
+                    dest_landmark = self.data.add_landmark(
+                        dest_reconstruction, dest_view, feature
+                    )
+                    landmark_map[src_landmark] = dest_landmark
+                rec.views[dest_view].landmarks.append(dest_landmark)
+        for view in dest_views:
+            if not self.record_view_constraints(dest_reconstruction, view):
+                self.data.remove_view(dest_reconstruction, view)
+        del self.data.reconstructions[src_reconstruction]
+
+    # -- bundle adjustment (lib.rs:2343-2435) ----------------------------------------
+    def optimize_reconstruction(self, reconstruction):
+        for _ in range(self.settings.reconstruction_optimization_iterations):
+            if self.apply_constraints(reconstruction) is None:
+                log.info("failed to bundle adjust reconstruction")
+                return None
+            if self.filter_non_robust_observations(reconstruction) is None:
+                return None
+        return reconstruction
+
+    def apply_constraints(self, reconstruction):
+        rec = self.data.reconstructions[reconstruction]
+        view_keys = list(rec.views)
+        if not view_keys:
+            self.data.remove_reconstruction(reconstruction)
+            return None
+        index = {v: i for i, v in enumerate(view_keys)}
+        edges = []
+        for constraint in rec.constraints.values():
+            for to_view, (from_view, pose) in constraint.edge_constraints():
+                if to_view in index and from_view in index:
+                    edges.append((index[to_view], index[from_view], pose))
+        rot = np.stack([rec.views[v].pose[0] for v in view_keys])
+        trans = np.stack([rec.views[v].pose[1] for v in view_keys])
+        e = max(len(edges), 1)
+        eb = _bucket(e)
+        edge_to = np.zeros(eb, np.int32)
+        edge_from = np.zeros(eb, np.int32)
+        edge_rot = np.tile(np.eye(3), (eb, 1, 1))
+        edge_t = np.zeros((eb, 3))
+        edge_valid = np.zeros(eb, bool)
+        for i, (t, f, pose) in enumerate(edges):
+            edge_to[i] = t
+            edge_from[i] = f
+            edge_rot[i] = pose[0]
+            edge_t[i] = pose[1]
+            edge_valid[i] = True
+        out_rot, out_trans, removed = graph_ba_device(
+            jnp.asarray(rot),
+            jnp.asarray(trans),
+            jnp.asarray(edge_to),
+            jnp.asarray(edge_from),
+            jnp.asarray(edge_rot),
+            jnp.asarray(edge_t),
+            jnp.asarray(edge_valid),
+            iterations=self.settings.optimization_iterations,
+            rate=self.settings.graph_optimization_rate,
+        )
+        removed = np.asarray(removed)
+        out_rot = np.asarray(out_rot, np.float64)
+        out_trans = np.asarray(out_trans, np.float64)
+        updated = 0
+        for i, v in enumerate(view_keys):
+            if removed[i]:
+                continue
+            rec.views[v].pose = (out_rot[i], out_trans[i])
+            updated += 1
+        if updated < 3:
+            self.data.remove_reconstruction(reconstruction)
+            return None
+        for i, v in enumerate(view_keys):
+            if removed[i] and v in rec.views:
+                log.info("removing view from reconstruction")
+                self.data.remove_view(reconstruction, v)
+        return reconstruction
+
+    # -- observation filtering (lib.rs:2657-2757) --------------------------------------
+    def filter_non_robust_observations(self, reconstruction):
+        rec = self.data.reconstructions[reconstruction]
+        landmarks = list(rec.landmarks)
+        for landmark in landmarks:
+            obs = self.data.landmark_observations(reconstruction, landmark)
+            if len(obs) <= 1:
+                continue
+            if len(obs) == 2:
+                (v1, f1), (v2, f2) = obs
+                p1 = self.data.pose(reconstruction, v1)
+                b1 = self.data.observation_bearing(reconstruction, v1, f1)
+                p2 = self.data.pose(reconstruction, v2)
+                b2 = self.data.observation_bearing(reconstruction, v2, f2)
+                total = se3.compose(p2, se3.inverse(p1))
+                if not self.is_bi_landmark_robust(
+                    total, b1, b2, self.settings.maximum_sine_distance
+                ):
+                    self.split_landmark(reconstruction, landmark)
+            else:
+                point = self.triangulate_landmark(reconstruction, landmark)
+                if point is None:
+                    self.split_landmark(reconstruction, landmark)
+                    continue
+                for view, feature in obs:
+                    pose = self.data.pose(reconstruction, view)
+                    bearing = self.data.observation_bearing(
+                        reconstruction, view, feature
+                    )
+                    if (
+                        1.0 - float(host_geom.transform_bearing(pose, point) @ bearing)
+                        > self.settings.maximum_cosine_distance
+                    ):
+                        self.data.split_observation(reconstruction, view, feature)
+        robust = sum(
+            1
+            for lm in rec.landmarks
+            if self.is_landmark_robust(reconstruction, lm)
+        )
+        log.info("filtering left %d robust landmarks", robust)
+        if robust < self.settings.minimum_robust_landmarks:
+            self.data.remove_reconstruction(reconstruction)
+            return None
+        return reconstruction
+
+    def split_landmark(self, reconstruction, landmark):
+        obs = self.data.landmark_observations(reconstruction, landmark)
+        for view, feature in obs[1:]:
+            self.data.split_observation(reconstruction, view, feature)
+
+    # -- normalization + export (lib.rs:2241-2340) ----------------------------------------
+    def normalize_reconstruction(self, reconstruction):
+        rec = self.data.reconstructions[reconstruction]
+        if not rec.views:
+            return
+        first_view = next(iter(rec.views.values()))
+        distances = []
+        for landmark in first_view.landmarks:
+            point = self.triangulate_landmark_robust(reconstruction, landmark)
+            p = host_geom.point_of(point) if point is not None else None
+            if p is None:
+                continue
+            cam = se3.apply(first_view.pose, p)
+            distances.append(float(np.linalg.norm(cam)))
+        if not distances:
+            return
+        mean_distance = float(np.mean(distances))
+        if not np.isfinite(mean_distance) or mean_distance <= 0:
+            return
+        rescale = 1.0 / mean_distance
+        transform = se3.inverse(first_view.pose)
+        for view in rec.views.values():
+            r, t = se3.compose(view.pose, transform)
+            view.pose = (r, t * rescale)
+        for constraint in rec.constraints.values():
+            constraint.poses = tuple(
+                (r, t * rescale) for r, t in constraint.poses
+            )
+
+    def export_reconstruction(self, reconstruction, path, camera_faces: bool = True):
+        from .export import export_ply
+
+        rec = self.data.reconstructions[reconstruction]
+        points, colors = [], []
+        for landmark in rec.landmarks:
+            hp = self.triangulate_landmark_robust(reconstruction, landmark)
+            p = host_geom.point_of(hp) if hp is not None else None
+            if p is None:
+                continue
+            view, feature = next(
+                iter(self.data.landmark(reconstruction, landmark).observations.items())
+            )
+            points.append(p)
+            colors.append(self.data.observation_color(reconstruction, view, feature))
+        cameras = []
+        for view in rec.views.values():
+            c2w = se3.inverse(view.pose)
+            cameras.append(
+                dict(
+                    optical_center=se3.apply(c2w, np.zeros(3)),
+                    up_direction=se3.rotate(c2w, np.array([0.0, -1.0, 0.0])),
+                    forward_direction=se3.rotate(c2w, np.array([0.0, 0.0, 1.0])),
+                    focal_length=0.05,
+                )
+            )
+        export_ply(path, points, colors, cameras, camera_faces)
