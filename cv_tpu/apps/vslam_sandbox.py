@@ -45,9 +45,9 @@ def main(argv=None):
     jax.config.update("jax_enable_x64", True)
     import numpy as np
 
-    from ..akaze import load_gray
     from ..camera import CameraIntrinsics, CameraIntrinsicsK1Distortion
     from ..sfm import VSlam, VSlamData, VSlamSettings
+    from ..utils.native_loader import PrefetchLoader
 
     intrinsics = CameraIntrinsicsK1Distortion.new(
         CameraIntrinsics.from_values(
@@ -69,9 +69,11 @@ def main(argv=None):
     feed = vslam.add_feed(intrinsics)
 
     normalized = set()
-    for frame_path in opt.images:
+    # Native prefetching loader: decode overlaps device compute.
+    loader = PrefetchLoader(opt.images, threads=4)
+    for i, frame_path in enumerate(opt.images):
         logging.info("loading image %s", frame_path)
-        image = load_gray(frame_path)
+        image = loader.get(i)
         frame = vslam.add_frame(feed, image)
         view = vslam.data.frames[frame].view
         if view is not None:

@@ -85,3 +85,18 @@ class TestEdgeCases:
         ex = AkazeExtractor(Akaze(detector_threshold=0.01, maximum_features=5))
         kp, words = ex.extract(load_gray(KITTI0))
         assert len(kp["response"]) <= 5
+
+
+class TestNativeLoader:
+    def test_native_matches_pil(self):
+        from cv_tpu.akaze.extract import load_gray as pil_load
+        from cv_tpu.utils.native_loader import PrefetchLoader, load_gray
+
+        a = load_gray(KITTI0)
+        b = pil_load(KITTI0)
+        assert a.shape == b.shape and (a == b).all()
+        with PrefetchLoader([KITTI0, KITTI14], threads=2) as loader:
+            x0 = loader.get(0)
+            x1 = loader.get(1)
+        assert (x0 == a).all()
+        assert x1.shape == pil_load(KITTI14).shape
