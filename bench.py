@@ -74,6 +74,9 @@ def main():
         dt = (time.time() - t0) / TIMED_ITERS
         best_fps = max(best_fps, BATCH / dt)
 
+    ransac_fits_per_sec = _bench_ransac()
+    ba_iters_per_sec = _bench_graph_ba()
+
     value = best_fps if golden_ok else 0.0
     print(
         json.dumps(
@@ -85,9 +88,93 @@ def main():
                 "golden_counts_ok": bool(golden_ok),
                 "keypoints": [int(counts[0]), int(counts[1])],
                 "matches": int(n_matches[0]),
+                "ransac_pose_fits_per_sec": round(ransac_fits_per_sec, 1),
+                "ba_iters_per_sec": round(ba_iters_per_sec, 1),
             }
         )
     )
+
+
+def _bench_ransac():
+    """Eight-point RANSAC throughput: candidate pose fits scored per second
+    (hypotheses x 4 models per consensus call over 256 matches; the
+    CameraToCamera residual triangulates per (model, match) via 4x4 eigh,
+    so HBM bounds the per-call problem size)."""
+    from cv_tpu.consensus import BatchConsensus, Estimator
+    from cv_tpu.core import Isometry3, camera_to_camera_residual, lie, projective
+    from cv_tpu.solvers import eight_point
+
+    rng = np.random.default_rng(0)
+    pose = jax.tree_util.tree_map(
+        jnp.asarray,
+        Isometry3(
+            rotation=np.asarray(lie.so3_exp(jnp.asarray([0.05, -0.1, 0.04]))),
+            translation=np.asarray([0.3, -0.1, 0.05]),
+        ),
+    )
+    pts = rng.uniform([-2, -2, 4], [2, 2, 10], (256, 3)).astype(np.float32)
+    a_h = projective.from_point(jnp.asarray(pts))
+    b_h = pose.transform(a_h)
+    a = projective.bearing(a_h)
+    b = projective.bearing(b_h)
+    est = Estimator(
+        min_samples=8,
+        models_per_sample=4,
+        estimate=lambda s: eight_point.estimate(s[0], s[1]),
+        residual=lambda m, d: camera_to_camera_residual(
+            Isometry3(
+                rotation=m.rotation[..., None, :, :],
+                translation=m.translation[..., None, :],
+            ),
+            d[0],
+            d[1],
+        ),
+    )
+    hyp = 512
+    cons = BatchConsensus(threshold=1e-4, hypotheses=hyp)
+    key = jax.random.key(0)
+    out = cons.model_inliers(key, est, (a, b))
+    np.asarray(out[2])
+    t0 = time.time()
+    iters = 3
+    for i in range(iters):
+        out = cons.model_inliers(jax.random.key(i), est, (a, b))
+        np.asarray(out[2])
+    dt = (time.time() - t0) / iters
+    return hyp * 4 / dt
+
+
+def _bench_graph_ba():
+    """Graph bundle-adjustment iterations per second (64 views, 384 edges)."""
+    from cv_tpu.core import lie
+    from cv_tpu.sfm.engine import graph_ba_device
+
+    rng = np.random.default_rng(0)
+    v, e = 64, 384
+    rot = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(size=(v, 3)) * 0.1)))
+    trans = rng.normal(size=(v, 3))
+    edge_to = rng.integers(0, v, e)
+    edge_from = (edge_to + 1 + rng.integers(0, v - 1, e)) % v
+    edge_rot = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(size=(e, 3)) * 0.05)))
+    edge_t = rng.normal(size=(e, 3)) * 0.1
+    iters = 1024
+    args = (
+        jnp.asarray(rot, jnp.float32),
+        jnp.asarray(trans, jnp.float32),
+        jnp.asarray(edge_to, jnp.int32),
+        jnp.asarray(edge_from, jnp.int32),
+        jnp.asarray(edge_rot, jnp.float32),
+        jnp.asarray(edge_t, jnp.float32),
+        jnp.asarray(np.ones(e, bool)),
+    )
+    out = graph_ba_device(*args, iterations=iters, rate=0.001)
+    np.asarray(out[0])
+    t0 = time.time()
+    for _ in range(3):
+        out = graph_ba_device(*args, iterations=iters, rate=0.001)
+        np.asarray(out[0])
+    dt = (time.time() - t0) / 3
+    return iters / dt
 
 
 if __name__ == "__main__":

@@ -117,6 +117,40 @@ class CameraIntrinsicsK1Distortion:
         return kp, valid
 
 
+def pose_reprojection_error(pose, a: jnp.ndarray, b: jnp.ndarray):
+    """Reprojection error (in focal lengths) of a match under a relative pose
+    (cv-pinhole/src/lib.rs:314-346).
+
+    ``pose``: CameraToCamera A->B (Isometry3); ``a``/``b``: unit bearings.
+    Triangulates with LinearEigen and returns ``(errors (..., 2, 2), ok)``
+    where errors[..., 0, :] / [..., 1, :] are the reprojection residuals in
+    cameras A and B, and ``ok`` masks cheirality/triangulation failures.
+    """
+    from ..triangulate import triangulate_relative
+
+    point, ok = triangulate_relative(pose, a, b)
+    a_norm = a[..., :2] / a[..., 2:3]
+    b_norm = b[..., :2] / b[..., 2:3]
+    bearing_a = point[..., :3]
+    ok = ok & (bearing_a[..., 2] > 0)
+    za = jnp.where(bearing_a[..., 2] == 0, 1.0, bearing_a[..., 2])
+    reproject_a = bearing_a[..., :2] / za[..., None]
+    point_b = pose.transform(point)
+    bearing_b = point_b[..., :3]
+    ok = ok & (bearing_b[..., 2] > 0)
+    zb = jnp.where(bearing_b[..., 2] == 0, 1.0, bearing_b[..., 2])
+    reproject_b = bearing_b[..., :2] / zb[..., None]
+    errors = jnp.stack([a_norm - reproject_a, b_norm - reproject_b], axis=-2)
+    return errors, ok
+
+
+def average_pose_reprojection_error(pose, a: jnp.ndarray, b: jnp.ndarray):
+    """Mean of the two reprojection error norms (lib.rs:348-372)."""
+    errors, ok = pose_reprojection_error(pose, a, b)
+    avg = 0.5 * jnp.sum(jnp.linalg.norm(errors, axis=-1), axis=-1)
+    return avg, ok
+
+
 @pytree_dataclass
 class CameraSpecification:
     """Manufacturer-style sensor spec -> intrinsics helper (lib.rs:250-284)."""

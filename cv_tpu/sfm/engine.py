@@ -1156,6 +1156,43 @@ class VSlam:
         for view, feature in obs[1:]:
             self.data.split_observation(reconstruction, view, feature)
 
+    # -- sanity check (lib.rs:3060-3094) -----------------------------------------------
+    def sanity_check(self, reconstruction) -> list:
+        """Invariant audit of view<->landmark backreferences. Returns a list
+        of human-readable violations (the reference logs them as errors)."""
+        problems = []
+        rec = self.data.reconstructions[reconstruction]
+        for view_key, view in rec.views.items():
+            if len(view.landmarks) != len(self.data.frames[view.frame]):
+                problems.append(
+                    f"view {view_key}: {len(view.landmarks)} landmark refs vs "
+                    f"{len(self.data.frames[view.frame])} features"
+                )
+            for feature, lm in enumerate(view.landmarks):
+                if lm not in rec.landmarks:
+                    problems.append(f"view {view_key} feature {feature}: dangling landmark {lm}")
+                    continue
+                obs = rec.landmarks[lm].observations
+                if obs.get(view_key) != feature:
+                    problems.append(
+                        f"view {view_key} feature {feature}: landmark {lm} "
+                        f"observation backref is {obs.get(view_key)}"
+                    )
+        for lm_key, lm in rec.landmarks.items():
+            if not lm.observations:
+                problems.append(f"landmark {lm_key} has zero observations")
+            for view_key, feature in lm.observations.items():
+                if view_key not in rec.views:
+                    problems.append(f"landmark {lm_key}: dangling view {view_key}")
+                elif rec.views[view_key].landmarks[feature] != lm_key:
+                    problems.append(
+                        f"landmark {lm_key}: view {view_key} feature {feature} "
+                        f"points to {rec.views[view_key].landmarks[feature]}"
+                    )
+        for p in problems:
+            log.error("sanity: %s", p)
+        return problems
+
     # -- normalization + export (lib.rs:2241-2340) ----------------------------------------
     def normalize_reconstruction(self, reconstruction):
         rec = self.data.reconstructions[reconstruction]

@@ -82,3 +82,26 @@ class TestK1Distortion:
         ukp, valid = intr.uncalibrate(intr.calibrate(kp))
         assert bool(valid)
         assert np.linalg.norm(np.asarray(kp) - np.asarray(ukp)) < 1e-6
+
+
+class TestReprojectionError:
+    def test_zero_for_exact_geometry(self):
+        """Port of the doc-test (cv-pinhole/src/lib.rs:292-313, 344-364)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cv_tpu.camera.pinhole import (
+            average_pose_reprojection_error,
+            pose_reprojection_error,
+        )
+        from cv_tpu.core import CameraToCamera, projective
+
+        point_a = projective.from_point(jnp.asarray([0.4, -0.25, 5.0]))
+        pose = CameraToCamera.from_parts(jnp.asarray([0.1, 0.2, -0.5]), jnp.eye(3))
+        point_b = pose.transform(point_a)
+        a = projective.bearing(point_a)
+        b = projective.bearing(point_b)
+        errors, ok = pose_reprojection_error(pose, a, b)
+        assert bool(ok)
+        avg, ok2 = average_pose_reprojection_error(pose, a, b)
+        assert bool(ok2) and float(avg) < 1e-6

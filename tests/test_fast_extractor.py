@@ -1,0 +1,80 @@
+"""Regression tests for the fully-device batched extractor: it must agree
+with the exact host path on the KITTI goldens (counts AND descriptor bits)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cv_tpu.akaze import Akaze, load_gray, to_gray_f32
+from cv_tpu.akaze.fast import DeviceExtractor
+
+KITTI0 = "/root/reference/res/0000000000.png"
+KITTI14 = "/root/reference/res/0000000014.png"
+
+
+@pytest.fixture(scope="module")
+def device_features():
+    ex = DeviceExtractor(Akaze.sparse(), candidate_budget=256, max_features=512)
+    img0 = to_gray_f32(load_gray(KITTI0))
+    img14 = to_gray_f32(load_gray(KITTI14))
+    batch = jnp.stack([jnp.asarray(img0), jnp.asarray(img14)])
+    return ex.extract(batch)
+
+
+class TestDeviceExtractorGoldens:
+    def test_counts(self, device_features):
+        fs = device_features
+        assert np.asarray(fs.count).tolist() == [399, 343]
+
+    def test_matches_exact_path_bitwise(self, device_features, kitti_features):
+        fs = device_features
+        kp0, w0, _, _ = kitti_features
+        valid = np.asarray(fs.valid[0])
+        pts = np.asarray(fs.point[0])[valid]
+        words = np.asarray(fs.words[0])[valid]
+        from scipy.spatial import cKDTree
+
+        d, idx = cKDTree(kp0["point"]).query(pts)
+        assert d.max() < 1e-3
+        assert (w0[idx] == words).all()
+
+    def test_pose_pipeline_from_device_features(self, device_features):
+        """Chapter-5 golden through the device path: 11 matches, 11 inliers."""
+        import jax
+
+        from cv_tpu.camera import CameraIntrinsics
+        from cv_tpu.consensus import BatchConsensus, Estimator
+        from cv_tpu.core import Isometry3, camera_to_camera_residual
+        from cv_tpu.matching import distance_matrix
+        from cv_tpu.solvers import eight_point
+
+        fs = device_features
+        d = distance_matrix(fs.words[0], fs.words[1])
+        d = jnp.where(fs.valid[0][:, None] & fs.valid[1][None, :], d, 10_000)
+        neg, idx = jax.lax.top_k(-d, 2)
+        keep = np.asarray(
+            ((-neg[:, 0]).astype(jnp.float32) < (-neg[:, 1]).astype(jnp.float32) * 0.5)
+            & fs.valid[0]
+        )
+        ia = np.nonzero(keep)[0]
+        ib = np.asarray(idx[:, 0])[ia]
+        assert len(ia) == 11
+        intr = CameraIntrinsics.from_values(9.842439e2, 9.808141e2, 6.9e2, 2.331966e2)
+        a = intr.calibrate(jnp.asarray(np.asarray(fs.point[0])[ia], jnp.float64))
+        b = intr.calibrate(jnp.asarray(np.asarray(fs.point[1])[ib], jnp.float64))
+        est = Estimator(
+            min_samples=8,
+            models_per_sample=4,
+            estimate=lambda s: eight_point.estimate(s[0], s[1]),
+            residual=lambda m, dd: camera_to_camera_residual(
+                Isometry3(
+                    rotation=m.rotation[..., None, :, :],
+                    translation=m.translation[..., None, :],
+                ),
+                dd[0],
+                dd[1],
+            ),
+        )
+        cons = BatchConsensus(threshold=0.1, hypotheses=512)
+        _, _, count = cons.model_inliers(jax.random.key(42), est, (a, b))
+        assert int(count) == 11

@@ -162,3 +162,24 @@ class TestSyntheticReconstruction:
         loaded = VSlamData.load(path)
         assert len(loaded.frames) == len(engine.data.frames)
         assert len(loaded.reconstructions) == len(engine.data.reconstructions)
+
+
+class TestSanityCheck:
+    def test_clean_reconstruction_has_no_violations(self, built_engine):
+        engine, _, _ = built_engine
+        rec_key = next(iter(engine.data.reconstructions))
+        assert engine.sanity_check(rec_key) == []
+
+    def test_detects_corruption(self, built_engine):
+        import copy
+
+        engine, _, _ = built_engine
+        rec_key = next(iter(engine.data.reconstructions))
+        rec = engine.data.reconstructions[rec_key]
+        view_key = next(iter(rec.views))
+        saved = rec.views[view_key].landmarks[0]
+        rec.views[view_key].landmarks[0] = 10**9  # dangling landmark key
+        try:
+            assert engine.sanity_check(rec_key) != []
+        finally:
+            rec.views[view_key].landmarks[0] = saved
