@@ -1156,6 +1156,15 @@ class VSlam:
         for view, feature in obs[1:]:
             self.data.split_observation(reconstruction, view, feature)
 
+    def regenerate_reconstruction(self, reconstruction):
+        """Clear and regenerate every view's constraints, then re-optimize
+        (lib.rs:2417-2435)."""
+        rec = self.data.reconstructions[reconstruction]
+        rec.constraints.clear()
+        for view in list(rec.views):
+            self.record_view_constraints(reconstruction, view)
+        return self.optimize_reconstruction(reconstruction)
+
     # -- sanity check (lib.rs:3060-3094) -----------------------------------------------
     def sanity_check(self, reconstruction) -> list:
         """Invariant audit of view<->landmark backreferences. Returns a list

@@ -100,3 +100,33 @@ class TestNativeLoader:
             x1 = loader.get(1)
         assert (x0 == a).all()
         assert x1.shape == pil_load(KITTI14).shape
+
+
+class TestSelfGoldens:
+    """Frozen-output self-regression at the DEFAULT threshold (0.001),
+    pinned from the first verified build (the reference pins only the
+    sparse-threshold counts). Guards future perf work against silent
+    behavior changes."""
+
+    def test_default_threshold_counts(self):
+        import numpy as np
+
+        ex = AkazeExtractor(Akaze())
+        kp0, w0 = ex.extract(load_gray(KITTI0))
+        kp14, w14 = ex.extract(load_gray(KITTI14))
+        assert len(kp0["response"]) == 3425
+        assert len(kp14["response"]) == 2908
+        assert int(np.asarray(w0, np.uint64).sum() % 2**31) == 31033516
+        assert int(np.asarray(w14, np.uint64).sum() % 2**31) == 113943114
+
+    def test_nonstandard_image_size(self, rng):
+        # A size that exercises different octave shapes / odd dims.
+        img = (rng.random((201, 307)) * 255).astype("uint8")
+        ex = AkazeExtractor(Akaze())
+        kp, words = ex.extract(img)
+        assert len(kp["response"]) == words.shape[0]
+        # Noise image: many extrema, all within bounds.
+        import numpy as np
+
+        pts = kp["point"]
+        assert np.all(pts[:, 0] < 307) and np.all(pts[:, 1] < 201)
