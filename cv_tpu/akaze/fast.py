@@ -62,10 +62,14 @@ class DeviceExtractor:
         config: Akaze | None = None,
         candidate_budget: int = 256,
         max_features: int = 1024,
+        sampler: str = "onehot",
     ):
         self.config = config or Akaze()
         self.candidate_budget = candidate_budget
         self.max_features = max_features
+        # 'onehot' (gather-free MXU sampling, fastest on TPU) or 'gather'
+        # (flat 1-D gathers); both are bitwise-identical.
+        self.sampler = sampler
         from .extract import AkazeExtractor
 
         self._helper = AkazeExtractor(self.config)
@@ -262,18 +266,47 @@ class DeviceExtractor:
         angle = jax.vmap(desc.orientation_flat)(
             flat_pack, sel_base, sel_w, sel_h, xf, yf, sel_ssamp
         )
-        words, w_ok = jax.vmap(
-            partial(desc.mldb_flat, pattern_size=cfg.descriptor_pattern_size)
-        )(
-            flat_pack,
-            sel_base,
-            sel_w,
-            sel_h,
-            xf,
-            yf,
-            sel_ssamp,
-            angle,
-        )
+        if self.sampler == "onehot":
+            # Gather-free sampling: padded plane stack + factorized one-hot
+            # MXU selection (bitwise-equal to the gather path, ~1.7x faster
+            # on TPU; see descriptors.mldb_flat_onehot).
+            hp = max(128, h)
+            wp = max(128, w)
+            planes_padded = jnp.zeros((b, n_evo, hp, wp, 3), jnp.float32)
+            for e, p in enumerate(planes):
+                planes_padded = planes_padded.at[
+                    :, e, : p.lt.shape[-2], : p.lt.shape[-1], :
+                ].set(jnp.stack([p.lt, p.lx, p.ly], axis=-1))
+            planes_padded = planes_padded.reshape(b * n_evo, hp, wp, 3)
+            lvl = (
+                jnp.arange(b, dtype=jnp.int32)[:, None] * n_evo + sel_cls
+            ).reshape(-1)
+            words, w_ok = desc.mldb_flat_onehot(
+                planes_padded,
+                lvl,
+                sel_w.reshape(-1),
+                sel_h.reshape(-1),
+                xf.reshape(-1),
+                yf.reshape(-1),
+                sel_ssamp.reshape(-1),
+                angle.reshape(-1),
+                pattern_size=cfg.descriptor_pattern_size,
+            )
+            words = words.reshape(b, m, -1)
+            w_ok = w_ok.reshape(b, m)
+        else:
+            words, w_ok = jax.vmap(
+                partial(desc.mldb_flat, pattern_size=cfg.descriptor_pattern_size)
+            )(
+                flat_pack,
+                sel_base,
+                sel_w,
+                sel_h,
+                xf,
+                yf,
+                sel_ssamp,
+                angle,
+            )
 
         return FeatureSet(
             point=jnp.stack([sel_px, sel_py], axis=-1),
