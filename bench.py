@@ -97,9 +97,9 @@ def main():
 
 def _bench_ransac():
     """Eight-point RANSAC throughput: candidate pose fits scored per second
-    (hypotheses x 4 models per consensus call over 256 matches; the
-    CameraToCamera residual triangulates per (model, match) via 4x4 eigh,
-    so HBM bounds the per-call problem size)."""
+    (hypotheses x 4 models per consensus call over 512 matches; the
+    CameraToCamera residual triangulates per (model, match) with the
+    batched Jacobi 4x4 eigensolver)."""
     from cv_tpu.consensus import BatchConsensus, Estimator
     from cv_tpu.core import Isometry3, camera_to_camera_residual, lie, projective
     from cv_tpu.solvers import eight_point
@@ -112,7 +112,7 @@ def _bench_ransac():
             translation=np.asarray([0.3, -0.1, 0.05]),
         ),
     )
-    pts = rng.uniform([-2, -2, 4], [2, 2, 10], (256, 3)).astype(np.float32)
+    pts = rng.uniform([-2, -2, 4], [2, 2, 10], (512, 3)).astype(np.float32)
     a_h = projective.from_point(jnp.asarray(pts))
     b_h = pose.transform(a_h)
     a = projective.bearing(a_h)
@@ -130,7 +130,7 @@ def _bench_ransac():
             d[1],
         ),
     )
-    hyp = 512
+    hyp = 2048
     cons = BatchConsensus(threshold=1e-4, hypotheses=hyp)
     key = jax.random.key(0)
     out = cons.model_inliers(key, est, (a, b))

@@ -218,8 +218,12 @@ def camera_to_camera_residual(pose: Isometry3, a: jnp.ndarray, b: jnp.ndarray):
         bb = bearing_vec[..., :, None] * bearing_vec[..., None, :]  # (..., 3, 3)
         term = pm - bb @ pm
         design = design + jnp.swapaxes(term, -1, -2) @ term
-    eigvals, eigvecs = jnp.linalg.eigh(design)
-    # eigh sorts ascending; the reference picks min |eigenvalue|.
+    from ..ops.eigen import eigh4
+
+    # Batched Jacobi: jnp.linalg.eigh's general decomposition allocates
+    # large HBM temporaries and dominates RANSAC scoring.
+    eigvals, eigvecs = eigh4(design)
+    # ascending eigenvalues; the reference picks min |eigenvalue|.
     idx = jnp.argmin(jnp.abs(eigvals), axis=-1)
     v = jnp.take_along_axis(eigvecs, idx[..., None, None], axis=-1)[..., 0]
     pt = projective.from_homogeneous(v)

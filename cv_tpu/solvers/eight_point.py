@@ -38,7 +38,9 @@ def essential_from_matches(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     rows = encode_epipolar_equation(a, b)  # (..., K, 9)
     eet = jnp.einsum("...ki,...kj->...ij", rows, rows)
-    _, vecs = jnp.linalg.eigh(eet)  # ascending eigenvalues
+    from ..ops.eigen import eigh_small
+
+    _, vecs = eigh_small(eet, sweeps=8)  # ascending eigenvalues
     v = vecs[..., :, 0]
     # E[i, j] = v[3j + i]
     return jnp.swapaxes(v.reshape(v.shape[:-1] + (3, 3)), -1, -2)

@@ -89,7 +89,9 @@ def nullspace_basis(a: jnp.ndarray, b: jnp.ndarray):
     """
     rows = (a[..., :, None] * b[..., None, :]).reshape(a.shape[:-1] + (9,))
     ee = jnp.einsum("...ki,...kj->...ij", rows, rows)
-    vals, vecs = jnp.linalg.eigh(ee)  # ascending
+    from ..ops.eigen import eigh_small
+
+    vals, vecs = eigh_small(ee, sweeps=8)  # ascending
     basis = vecs[..., :, :4]
     ok = (vals[..., 3] <= EIGEN_THRESHOLD) & (vals[..., 4] > EIGEN_THRESHOLD)
     return basis, ok

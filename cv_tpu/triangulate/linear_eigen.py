@@ -34,7 +34,9 @@ def triangulate_observations(
     if valid is not None:
         term = jnp.where(valid[..., None, None], term, 0.0)
     design = jnp.einsum("...vki,...vkj->...ij", term, term)
-    _, vecs = jnp.linalg.eigh(design)
+    from ..ops.eigen import eigh4
+
+    _, vecs = eigh4(design)
     point = projective.from_homogeneous(vecs[..., :, 0])
     finite = projective.is_finite(point)
     # Cheirality (triangulation.rs:121-128): rotate each bearing to world
