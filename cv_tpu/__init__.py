@@ -22,3 +22,44 @@ Layering (mirrors SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+# Batteries-included facade (the reference's `cv` crate, cv/src/lib.rs:42-148):
+# the full vocabulary importable from the top level. Submodules with heavy
+# dependencies stay lazy via their own packages.
+from .camera import (  # noqa: E402,F401
+    CameraIntrinsics,
+    CameraIntrinsicsK1Distortion,
+    CameraSpecification,
+)
+from .core import (  # noqa: E402,F401
+    CameraToCamera,
+    CameraToWorld,
+    Isometry3,
+    WorldToCamera,
+    WorldToWorld,
+    camera_to_camera_residual,
+    world_to_camera_residual,
+)
+
+
+def __getattr__(name):
+    # Lazy subpackage access: cv_tpu.akaze, cv_tpu.sfm, ... import on demand.
+    import importlib
+
+    if name in (
+        "akaze",
+        "camera",
+        "consensus",
+        "core",
+        "geom",
+        "matching",
+        "ops",
+        "optimize",
+        "sfm",
+        "solvers",
+        "triangulate",
+        "apps",
+        "utils",
+    ):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

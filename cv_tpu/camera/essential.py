@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..core.lie import so3_hat
 from ..core.pose import CameraToCamera, Isometry3
+from ..ops.eigen import svd3
 
 
 def essential_from_pose(pose: Isometry3) -> jnp.ndarray:
@@ -35,7 +36,7 @@ def residual(e: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def recondition(e: jnp.ndarray) -> jnp.ndarray:
     """Closest true essential matrix: average the two large singular values,
     zero the third (essential.rs:64-77)."""
-    u, s, vt = jnp.linalg.svd(e)
+    u, s, vt = svd3(e)
     avg = 0.5 * (s[..., 0] + s[..., 1])
     s_new = jnp.stack([avg, avg, jnp.zeros_like(avg)], axis=-1)
     return (u * s_new[..., None, :]) @ vt
@@ -50,7 +51,7 @@ def possible_rotations_unscaled_translation(e: jnp.ndarray):
     w = jnp.array(
         [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=dtype
     )
-    u, _, vt = jnp.linalg.svd(e)
+    u, _, vt = svd3(e)
     # Force positive determinants (handedness): flip last column of U / last
     # row of Vt (essential.rs:139-153).
     det_u = jnp.linalg.det(u)

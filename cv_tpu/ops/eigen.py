@@ -68,3 +68,45 @@ def eigh_small(a: jnp.ndarray, sweeps: int = 6):
 def eigh4(a: jnp.ndarray, sweeps: int = 6):
     """Symmetric 4x4 batch eigendecomposition (see :func:`eigh_small`)."""
     return eigh_small(a, sweeps=sweeps)
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def svd3(e: jnp.ndarray, sweeps: int = 8):
+    """SVD of ``(..., 3, 3)`` batches via Jacobi on E^T E.
+
+    Returns ``(u, s, vt)`` with singular values descending, matching
+    ``jnp.linalg.svd``.  The left vector of the smallest singular value is
+    completed by a cross product when that value is (near) zero — exactly
+    the rank-2 essential-matrix case this exists for.
+    """
+    b = jnp.swapaxes(e, -1, -2) @ e
+    w, v = eigh_small(b, sweeps=sweeps)  # ascending
+    # Descending order.
+    w = w[..., ::-1]
+    v = v[..., :, ::-1]
+    s = jnp.sqrt(jnp.maximum(w, 0.0))
+    ev = e @ v  # columns: s_i * u_i
+    s0 = s[..., 0:1]
+    tol = jnp.finfo(e.dtype).eps ** 0.5 * jnp.maximum(s0, 1e-30)
+    safe = jnp.where(s <= tol, 1.0, s)
+    u = ev / safe[..., None, :]
+    u0, u1 = u[..., :, 0], u[..., :, 1]
+    u2_cross = jnp.cross(u0, u1)
+    u2 = jnp.where((s[..., 2] <= tol[..., 0])[..., None], u2_cross, u[..., :, 2])
+    u = u.at[..., :, 2].set(u2)
+    # Degenerate rank<2 batches: fall back to orthonormal completion of u1.
+    u1_ok = s[..., 1] > tol[..., 0]
+    alt = jnp.cross(u0, jnp.stack([jnp.ones_like(s[..., 0]),
+                                   jnp.zeros_like(s[..., 0]),
+                                   jnp.zeros_like(s[..., 0])], axis=-1))
+    alt_norm = jnp.linalg.norm(alt, axis=-1, keepdims=True)
+    alt2 = jnp.cross(u0, jnp.stack([jnp.zeros_like(s[..., 0]),
+                                    jnp.ones_like(s[..., 0]),
+                                    jnp.zeros_like(s[..., 0])], axis=-1))
+    alt = jnp.where(alt_norm > 0.1, alt, alt2)
+    alt = alt / jnp.linalg.norm(alt, axis=-1, keepdims=True)
+    u = u.at[..., :, 1].set(jnp.where(u1_ok[..., None], u[..., :, 1], alt))
+    u = u.at[..., :, 2].set(
+        jnp.where(u1_ok[..., None], u[..., :, 2], jnp.cross(u0, u[..., :, 1]))
+    )
+    return u, s, jnp.swapaxes(v, -1, -2)

@@ -161,7 +161,9 @@ def _closest_rotation(m):
     The reference uses nalgebra's iterative ``Rotation3::from_matrix_eps``
     (lib.rs:307-315); the SVD polar factor is its convergence point.
     """
-    u, _, vt = jnp.linalg.svd(m)
+    from ..ops.eigen import svd3
+
+    u, _, vt = svd3(m)
     det = jnp.linalg.det(u @ vt)
     fix = jnp.concatenate(
         [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]],
