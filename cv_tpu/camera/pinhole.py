@@ -171,6 +171,10 @@ class CameraSpecification:
         return cls(pixels=pixels, pixel_dimensions=jnp.stack([pw, pw], axis=-1))
 
     def intrinsics_centered(self, focal) -> CameraIntrinsics:
+        # NOTE: replicates the reference exactly (lib.rs:278-284), which
+        # centers on pixel_dimensions rather than the pixel COUNT — almost
+        # certainly a latent bug there (principal point should be
+        # pixels/2 - 0.5), but kept for behavioral parity.
         pp = self.pixel_dimensions / 2.0 - 0.5
         focal = jnp.asarray(focal, pp.dtype)
         return CameraIntrinsics(
