@@ -10,9 +10,14 @@ target is 1000 fps/chip, so vs_baseline = fps / 1000.
 
 Correctness gate: the run only counts if the extractor reproduces the
 reference goldens (399/343 keypoints) on the KITTI pair.
+
+``python bench.py --stages`` runs the criterion-analog per-stage harness
+(the TPU equivalent of ``akaze/benches/criterion.rs``): each pipeline stage
+is jitted as its own XLA program and timed; prints one table + one JSON line.
 """
 
 import json
+import sys
 import time
 import warnings
 
@@ -177,5 +182,129 @@ def _bench_graph_ba():
     return iters / dt
 
 
+def _sync(out):
+    """Force completion: device->host copy of one element of the last-issued
+    program's first output leaf (block_until_ready is unreliable through the
+    axon tunnel; TPU programs complete in issue order, so one copy syncs)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])  # slice on device; copy 1 element
+    return out
+
+
+def _time_jit(fn, *args, iters=5):
+    """Compile, then best-of-3 mean wall time per call (ms)."""
+    out = _sync(fn(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3, out
+
+
+def stages_main(batch_size=BATCH):
+    """Per-stage timing harness (criterion analog)."""
+    from cv_tpu.akaze import fast
+    from cv_tpu.akaze.scale_space import build_scale_space, EvolutionPlanes
+
+    img0 = to_gray_f32(load_gray("/root/reference/res/0000000000.png"))
+    img14 = to_gray_f32(load_gray("/root/reference/res/0000000014.png"))
+    batch = jnp.stack([jnp.asarray(img0), jnp.asarray(img14)] * (batch_size // 2))
+
+    ex = DeviceExtractor(Akaze.sparse(), candidate_budget=256, max_features=512)
+    cfg, k, m = ex.config, ex.candidate_budget, ex.max_features
+    h, w = img0.shape
+    specs = ex._helper.specs(h, w)
+
+    def planes_to_arrays(planes):
+        return tuple((p.lt, p.lsmooth, p.lx, p.ly, p.ldet) for p in planes)
+
+    def arrays_to_planes(arrs):
+        return [
+            EvolutionPlanes(spec=s, lt=a[0], lsmooth=a[1], lx=a[2], ly=a[3], ldet=a[4])
+            for s, a in zip(specs, arrs)
+        ]
+
+    def strip_cand(cand):
+        return tuple(
+            {f: c[f] for f in ("x", "y", "px", "py", "resp", "idx", "valid")}
+            for c in cand
+        )
+
+    def rebuild_cand(stripped):
+        out = []
+        for s, c in zip(specs, stripped):
+            d = dict(c)
+            d["spec"] = s
+            d["size"] = np.float32(np.float32(s.esigma) * np.float32(cfg.derivative_factor))
+            out.append(d)
+        return out
+
+    timings = {}
+
+    j_ss = jax.jit(lambda imgs: planes_to_arrays(build_scale_space(cfg, specs, imgs)))
+    timings["scale_space"], plane_arrs = _time_jit(j_ss, batch)
+
+    j_cand = jax.jit(
+        lambda arrs: strip_cand(
+            fast.stage_candidates(cfg, specs, arrays_to_planes(arrs), k, ex.block_reduce)
+        )
+    )
+    timings["candidates_topk"], cand_s = _time_jit(j_cand, plane_arrs)
+
+    j_dedup = jax.jit(
+        lambda cs: strip_cand(fast.stage_dedup(rebuild_cand(cs), k, ex.dedup_scan_cap))
+    )
+    timings["dedup"], cand_s = _time_jit(j_dedup, cand_s)
+
+    j_flat = jax.jit(lambda arrs: fast.flat_ldet_buffer(arrays_to_planes(arrs)))
+    timings["flat_ldet"], flat_ldet = _time_jit(j_flat, plane_arrs)
+
+    j_refine = jax.jit(
+        lambda cs, fl: fast.stage_refine_select(cfg, specs, rebuild_cand(cs), fl, k, m)
+    )
+    timings["refine_select"], sel = _time_jit(j_refine, cand_s, flat_ldet)
+
+    j_desc = jax.jit(
+        lambda arrs, s: fast.stage_describe(
+            cfg, arrays_to_planes(arrs), s, ex.sampler, ex.onehot_mode
+        )
+    )
+    timings["orient_mldb"], fs = _time_jit(j_desc, plane_arrs, sel)
+
+    j_match = jax.jit(
+        lambda words, valid: distance_matrix(words[0], words[1])
+        * (valid[0][:, None] & valid[1][None, :])
+    )
+    timings["match_pair"], _ = _time_jit(j_match, fs.words[:2], fs.valid[:2])
+
+    counts = np.asarray(fs.count)
+    total = sum(timings.values())
+    print(f"# stage timings, B={batch_size}, {h}x{w}, ms/batch (separate programs)")
+    for name, ms in timings.items():
+        print(f"{name:>16}: {ms:8.2f} ms  ({ms / total * 100:5.1f}%)")
+    print(f"{'TOTAL':>16}: {total:8.2f} ms  -> {batch_size / total * 1e3:.1f} fps upper bound")
+    print(
+        json.dumps(
+            {
+                "metric": "akaze_stage_ms",
+                "batch": batch_size,
+                "stages": {n: round(v, 2) for n, v in timings.items()},
+                "total_ms": round(total, 2),
+                "keypoints": [int(counts[0]), int(counts[1])],
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--stages" in sys.argv:
+        bs = BATCH
+        for a in sys.argv[1:]:
+            if a.isdigit():
+                bs = int(a)
+        stages_main(bs)
+    else:
+        main()

@@ -239,8 +239,30 @@ def orientation_flat(
     return _orientation_from_samples(res_x, res_y)
 
 
+def orientation_padded(
+    planes: jnp.ndarray,  # (L, 3, Hmax, Wmax) channel-major padded stack
+    lvl: jnp.ndarray,  # (K,) i32 plane index per keypoint
+    width: jnp.ndarray,  # (K,) true plane width
+    height: jnp.ndarray,  # (K,)
+    xf: jnp.ndarray,  # (K,) octave coords
+    yf: jnp.ndarray,
+    s: jnp.ndarray,  # (K,) rounded sampling scale
+) -> jnp.ndarray:
+    """Dominant orientation sampled from the shared padded plane stack
+    (same semantics as :func:`orientation_flat`; lets the throughput path
+    drop the flat_pack buffer entirely)."""
+    di, dj, wt = (jnp.asarray(a) for a in orientation_table())
+    ix = round_half_away(xf[:, None] + di[None, :] * s[:, None]).astype(jnp.int32)
+    iy = round_half_away(yf[:, None] + dj[None, :] * s[:, None]).astype(jnp.int32)
+    ix = jnp.clip(ix, 0, width[:, None] - 1)
+    iy = jnp.clip(iy, 0, height[:, None] - 1)
+    res_x = wt[None, :] * planes[lvl[:, None], 1, iy, ix]
+    res_y = wt[None, :] * planes[lvl[:, None], 2, iy, ix]
+    return _orientation_from_samples(res_x, res_y)
+
+
 def mldb_flat_onehot(
-    planes: jnp.ndarray,  # (L, Hmax, Wmax, 3) padded plane stack
+    planes: jnp.ndarray,  # (L, 3, Hmax, Wmax) channel-major padded stack
     lvl: jnp.ndarray,  # (K,) i32 plane index per keypoint
     width: jnp.ndarray,  # (K,) true plane width (for the OOB mask)
     height: jnp.ndarray,  # (K,)
@@ -256,9 +278,11 @@ def mldb_flat_onehot(
 
     XLA's gather costs ~18 ns/index; the 1241-sample rotated grids make it
     the extractor's dominant stage.  This formulation dynamic-slices a
-    128x128 patch per keypoint (bandwidth-bound) and resolves the samples as
-    ``value[s] = onehot_row[s] @ patch @ onehot_col[s]`` — two dense
+    128x128x3 patch per keypoint (bandwidth-bound) and resolves the samples
+    as ``value[s] = onehot_row[s] @ patch @ onehot_col[s]`` — two dense
     contractions.  ``Precision.HIGHEST`` keeps the selection bit-exact.
+    The stack is channel-major so the tiled (lane) dims are the image plane,
+    not a 3-wide channel axis (which would tile-pad 3 -> 128).
     Returns ``(words (K, 16) uint32, ok (K,))``, identical to
     :func:`mldb_flat`.
     """
@@ -285,7 +309,7 @@ def mldb_flat_onehot(
     y1 = jnp.clip(y1, 0, height[:, None] - 1)
 
     p = 128
-    hmax, wmax = planes.shape[1], planes.shape[2]
+    hmax, wmax = planes.shape[2], planes.shape[3]
     y0 = jnp.clip(yf.astype(jnp.int32) - p // 2, 0, hmax - p)
     x0 = jnp.clip(xf.astype(jnp.int32) - p // 2, 0, wmax - p)
     # Clamped samples of valid keypoints always land inside the patch
@@ -302,20 +326,20 @@ def mldb_flat_onehot(
 
         def slice_one(l, y, x):
             zero = jnp.zeros((), l.dtype)  # keep index dtypes uniform under x64
-            return jax.lax.dynamic_slice(planes, (l, y, x, zero), (1, p, p, 3))[0]
+            return jax.lax.dynamic_slice(planes, (l, zero, y, x), (1, 3, p, p))[0]
 
-        patch = jax.vmap(slice_one)(lvl_c, y0_c, x0_c)  # (chunk, p, p, 3)
+        patch = jax.vmap(slice_one)(lvl_c, y0_c, x0_c)  # (chunk, 3, p, p)
         iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, ns, p), 2)
         oh_row = (iota == rel_y_c[:, :, None]).astype(jnp.float32)
         oh_col = (iota == rel_x_c[:, :, None]).astype(jnp.float32)
         # Column-select then row-select; both exact under HIGHEST.
         t = jnp.einsum(
-            "knw,khwc->knhc", oh_col, patch,
+            "knw,kchw->knch", oh_col, patch,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (chunk, ns, p, 3)
+        )  # (chunk, ns, 3, p)
         vals = jnp.einsum(
-            "knh,knhc->knc", oh_row, t, precision=jax.lax.Precision.HIGHEST
-        )  # (chunk, ns, 3)
+            "knh,knch->kcn", oh_row, t, precision=jax.lax.Precision.HIGHEST
+        )  # (chunk, 3, ns) — channel-major so no 3-wide lane axis
         return vals
 
     n_chunks = k_total // chunk
@@ -328,9 +352,173 @@ def mldb_flat_onehot(
             rel_y.reshape(n_chunks, chunk, ns),
             rel_x.reshape(n_chunks, chunk, ns),
         ),
-    ).reshape(k_total, ns, 3)
-    ri, rx, ry = vals[..., 0], vals[..., 1], vals[..., 2]
+    ).reshape(k_total, 3, ns)
+    ri, rx, ry = vals[:, 0], vals[:, 1], vals[:, 2]
     return _mldb_pack(ri, rx, ry, co, si, pattern_size), ok
+
+
+def _split_bf16x3(x):
+    """Exact 3-term bf16 split of f32: x == x1 + x2 + x3 bitwise (24-bit
+    mantissa covered by 3 x 8-bit bf16 mantissas; image-derived magnitudes
+    stay far from bf16 overflow/subnormal edges)."""
+    x1 = x.astype(jnp.bfloat16)
+    r1 = x - x1.astype(jnp.float32)
+    x2 = r1.astype(jnp.bfloat16)
+    r2 = r1 - x2.astype(jnp.float32)
+    x3 = r2.astype(jnp.bfloat16)
+    return x1, x2, x3
+
+
+def _onehot_select_rows(oh_col, patch, mode):
+    """t[n, c, h] = sum_w oh_col[n, w] * patch[c, h, w] for a keypoint chunk.
+
+    ``mode``: 'highest' = f32 einsum at Precision.HIGHEST;
+    'bf16x3' = exact 3-pass bf16 decomposition of the patch against a bf16
+    one-hot (bit-identical: each pass selects one bf16 split term exactly,
+    and the f32 sum of the three split terms reconstructs the f32 value).
+    """
+    if mode == "highest":
+        return jnp.einsum(
+            "knw,kchw->knch", oh_col, patch, precision=jax.lax.Precision.HIGHEST
+        )
+    oh = oh_col.astype(jnp.bfloat16)
+    p1, p2, p3 = _split_bf16x3(patch)
+    acc = None
+    for p_i in (p1, p2, p3):
+        t_i = jnp.einsum(
+            "knw,kchw->knch",
+            oh,
+            p_i,
+            preferred_element_type=jnp.float32,
+        )
+        acc = t_i if acc is None else acc + t_i
+    return acc
+
+
+def orient_mldb_onehot(
+    planes: jnp.ndarray,  # (L, 3, Hmax, Wmax) channel-major padded stack
+    lvl: jnp.ndarray,  # (K,) i32 plane index per keypoint
+    width: jnp.ndarray,  # (K,) true plane width (for the OOB mask)
+    height: jnp.ndarray,  # (K,)
+    xf: jnp.ndarray,
+    yf: jnp.ndarray,
+    scale: jnp.ndarray,
+    pattern_size: int = 10,
+    chunk: int = 128,
+    mode: str = "highest",
+):
+    """Fused orientation + M-LDB via ONE patch extraction per keypoint.
+
+    Extracts each keypoint's 128x128x3 patch once, resolves the 109
+    orientation samples AND (after computing the angle in-chunk) the 1241
+    descriptor samples with factorized one-hot MXU contractions.  Replaces
+    the gather-based orientation (109 samples x 2 planes x 18ns/index) and
+    halves the patch traffic versus running the two kernels separately.
+    Returns ``(words (K, 16) uint32, ok (K,), angle (K,))``.
+    """
+    k_total = xf.shape[0]
+    if k_total % chunk:
+        pad = chunk - k_total % chunk
+        lvl = jnp.pad(lvl, (0, pad))
+        width = jnp.pad(width, (0, pad), constant_values=128)
+        height = jnp.pad(height, (0, pad), constant_values=128)
+        xf = jnp.pad(xf, (0, pad), constant_values=64.0)
+        yf = jnp.pad(yf, (0, pad), constant_values=64.0)
+        scale = jnp.pad(scale, (0, pad), constant_values=1.0)
+        words, ok, angle = orient_mldb_onehot(
+            planes, lvl, width, height, xf, yf, scale, pattern_size, chunk, mode
+        )
+        return words[:k_total], ok[:k_total], angle[:k_total]
+
+    p = 128
+    hmax, wmax = planes.shape[2], planes.shape[3]
+    y0 = jnp.clip(yf.astype(jnp.int32) - p // 2, 0, hmax - p)
+    x0 = jnp.clip(xf.astype(jnp.int32) - p // 2, 0, wmax - p)
+
+    # Orientation sample positions (109-disc), patch-relative.
+    di, dj, wt = (jnp.asarray(a) for a in orientation_table())
+    ox = round_half_away(xf[:, None] + di[None, :] * scale[:, None]).astype(jnp.int32)
+    oy = round_half_away(yf[:, None] + dj[None, :] * scale[:, None]).astype(jnp.int32)
+    ox = jnp.clip(ox, 0, width[:, None] - 1)
+    oy = jnp.clip(oy, 0, height[:, None] - 1)
+    orel_x = jnp.clip(ox - x0[:, None], 0, p - 1)
+    orel_y = jnp.clip(oy - y0[:, None], 0, p - 1)
+
+    samples, cell_counts, comparisons = mldb_tables(pattern_size)
+    ks = jnp.asarray(samples[:, 1].astype(np.float32))
+    ls = jnp.asarray(samples[:, 2].astype(np.float32))
+    ns = int(samples.shape[0])
+    n_or = int(di.shape[0])
+
+    def do_chunk(args):
+        lvl_c, y0_c, x0_c, orx, ory, xf_c, yf_c, sc_c, w_c, h_c = args
+
+        def slice_one(l, y, x):
+            zero = jnp.zeros((), l.dtype)  # keep index dtypes uniform under x64
+            return jax.lax.dynamic_slice(planes, (l, zero, y, x), (1, 3, p, p))[0]
+
+        patch = jax.vmap(slice_one)(lvl_c, y0_c, x0_c)  # (chunk, 3, p, p)
+
+        # --- orientation from the same patch ---
+        iota_o = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_or, p), 2)
+        ohc_o = (iota_o == orx[:, :, None]).astype(jnp.float32)
+        ohr_o = (iota_o == ory[:, :, None]).astype(jnp.float32)
+        t_o = _onehot_select_rows(ohc_o, patch[:, 1:], mode)  # (chunk, n_or, 2, p)
+        vo = jnp.einsum(
+            "knh,knch->kcn", ohr_o, t_o, precision=jax.lax.Precision.HIGHEST
+        )  # (chunk, 2, n_or)
+        res_x = wt[None, :] * vo[:, 0]
+        res_y = wt[None, :] * vo[:, 1]
+        angle_c = _orientation_from_samples(res_x, res_y)
+
+        # --- M-LDB sample positions (need the angle) ---
+        co = jnp.cos(angle_c)[:, None]
+        si = jnp.sin(angle_c)[:, None]
+        sc = sc_c[:, None]
+        sy = yf_c[:, None] + (ls[None, :] * co + ks[None, :] * si) * sc
+        sx = xf_c[:, None] + (-ls[None, :] * si + ks[None, :] * co) * sc
+        x1 = round_half_away(sx).astype(jnp.int32)
+        y1 = round_half_away(sy).astype(jnp.int32)
+        oob = (x1 < 0) | (x1 >= w_c[:, None]) | (y1 < 0) | (y1 >= h_c[:, None])
+        ok_c = ~jnp.any(oob, axis=-1)
+        x1 = jnp.clip(x1, 0, w_c[:, None] - 1)
+        y1 = jnp.clip(y1, 0, h_c[:, None] - 1)
+        rel_x = jnp.clip(x1 - x0_c[:, None], 0, p - 1)
+        rel_y = jnp.clip(y1 - y0_c[:, None], 0, p - 1)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, ns, p), 2)
+        oh_col = (iota == rel_x[:, :, None]).astype(jnp.float32)
+        oh_row = (iota == rel_y[:, :, None]).astype(jnp.float32)
+        t = _onehot_select_rows(oh_col, patch, mode)  # (chunk, ns, 3, p)
+        vals = jnp.einsum(
+            "knh,knch->kcn", oh_row, t, precision=jax.lax.Precision.HIGHEST
+        )  # (chunk, 3, ns)
+        words_c = _mldb_pack(
+            vals[:, 0], vals[:, 1], vals[:, 2], co, si, pattern_size
+        )
+        return words_c, ok_c, angle_c
+
+    n_chunks = k_total // chunk
+    words, ok, angle = jax.lax.map(
+        do_chunk,
+        (
+            lvl.reshape(n_chunks, chunk),
+            y0.reshape(n_chunks, chunk),
+            x0.reshape(n_chunks, chunk),
+            orel_x.reshape(n_chunks, chunk, n_or),
+            orel_y.reshape(n_chunks, chunk, n_or),
+            xf.reshape(n_chunks, chunk),
+            yf.reshape(n_chunks, chunk),
+            scale.reshape(n_chunks, chunk),
+            width.reshape(n_chunks, chunk),
+            height.reshape(n_chunks, chunk),
+        ),
+    )
+    return (
+        words.reshape(k_total, -1),
+        ok.reshape(k_total),
+        angle.reshape(k_total),
+    )
 
 
 def mldb_flat(

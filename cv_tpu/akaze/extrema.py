@@ -188,19 +188,28 @@ def dedup_scan_device(
     class_id: jnp.ndarray,  # (C,) i32 evolution index
     size2: jnp.ndarray,  # (C,) f32 squared dedup radius of the candidate
     valid: jnp.ndarray,  # (C,) bool (threshold/extremum/border already applied)
+    n_steps: jnp.ndarray | None = None,  # scalar i32: only the first n need scanning
 ) -> jnp.ndarray:
     """Exact device replica of the sequential dedup + upper-scale filter.
 
     Candidates MUST be ordered (evolution-major, row-major pixel order),
     exactly as the reference's iteration (scale_space_extrema.rs:17-117).
-    Runs as one ``lax.scan`` over candidates maintaining the keypoint cache
-    in fixed-size arrays — vmappable over a frame batch.
+    Runs as a dynamically-bounded ``lax.while_loop`` over candidates
+    maintaining the keypoint cache in fixed-size arrays — vmappable over a
+    frame batch (a vmapped while_loop runs until the slowest lane is done,
+    so the wall cost is max(n_steps) instead of the static cap).
+
+    ``n_steps``: when the caller knows all valid candidates sit in a prefix
+    (the conflict-compaction in :func:`cv_tpu.akaze.fast.stage_dedup` does
+    this), passing the prefix length skips the no-op tail steps.
 
     Returns a (C,) bool mask over the *input candidate order*: True for
     candidates that survive as output keypoints.
     """
     c = px_cmp.shape[0]
     dtype = px_cmp.dtype
+    if n_steps is None:
+        n_steps = jnp.int32(c)
     init = (
         jnp.full((c,), jnp.inf, dtype),  # cache px (inf => no match)
         jnp.full((c,), jnp.inf, dtype),  # cache py
@@ -209,7 +218,6 @@ def dedup_scan_device(
         jnp.zeros((c,), jnp.int32),  # cache src candidate index
         jnp.int32(0),  # count
     )
-    idxs = jnp.arange(c, dtype=jnp.int32)
 
     def step(state, cand):
         cpx, cpy, cresp, ccls, csrc, count = state
@@ -233,12 +241,35 @@ def dedup_scan_device(
         ccls = ccls.at[slot].set(jnp.where(write, cls, old[3]))
         csrc = csrc.at[slot].set(jnp.where(write, i, old[4]))
         count = count + jnp.where(write & ~is_rep, 1, 0).astype(jnp.int32)
-        return (cpx, cpy, cresp, ccls, csrc, count), None
+        return (cpx, cpy, cresp, ccls, csrc, count)
 
-    (cpx, cpy, cresp, ccls, csrc, count), _ = jax.lax.scan(
-        step,
-        init,
-        (idxs, px_cmp, py_cmp, px_store, py_store, resp, class_id, size2, valid),
+    # Process UNROLL candidates per loop iteration: the body is tiny, so
+    # TPU while-loop per-iteration overhead dominates — unrolling amortizes
+    # it (steps beyond n_steps are no-ops because their valid flag is False
+    # or they are clamped repeats with ok forced off).
+    UNROLL = 8
+
+    def body(carry):
+        i, state = carry
+        for u in range(UNROLL):
+            j = jnp.minimum(i + u, jnp.int32(c - 1))
+            ok = valid[j] & (i + u < jnp.int32(c))
+            cand = (
+                j,
+                px_cmp[j],
+                py_cmp[j],
+                px_store[j],
+                py_store[j],
+                resp[j],
+                class_id[j],
+                size2[j],
+                ok,
+            )
+            state = step(state, cand)
+        return (i + UNROLL, state)
+
+    _, (cpx, cpy, cresp, ccls, csrc, count) = jax.lax.while_loop(
+        lambda carry: carry[0] < n_steps, body, (jnp.int32(0), init)
     )
 
     # Upper-scale suppression over the final cache (":120-140"): entry i is

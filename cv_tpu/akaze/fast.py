@@ -12,6 +12,10 @@ descriptors run vmapped over frames.
 
 Output is a fixed-budget :class:`FeatureSet` with validity masks — the
 TPU-native stand-in for the reference's ``Vec<KeyPoint>``.
+
+The pipeline is decomposed into stage functions (``stage_*``) so the
+criterion-analog harness (``bench.py --stages``) can time each stage as its
+own XLA program; ``DeviceExtractor.extract`` composes them under one jit.
 """
 
 from __future__ import annotations
@@ -50,6 +54,448 @@ class FeatureSet:
         return jnp.sum(self.valid, axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Stage 1: per-evolution top-K candidate selection
+# ---------------------------------------------------------------------------
+
+
+def stage_candidates(cfg, specs, planes, k, block_reduce: bool = True):
+    """Masked per-evolution top-K extrema candidates, pixel-order sorted.
+
+    ``block_reduce``: run the top_k over 2x2 block maxima instead of raw
+    pixels.  This is *exact*: extrema are strict 3x3 local maxima, so no two
+    can be 8-adjacent and a 2x2 block holds at most one — reducing the
+    top_k input 4x.  (Response ties across blocks may select a different
+    equal-valued candidate at the budget boundary; responses are continuous
+    Hessian determinants so exact ties across distinct pixels do not occur
+    in practice, and the goldens gate it.)
+    """
+    b = planes[0].ldet.shape[0]
+    cand = []
+    for p in planes:
+        mask = extrema.candidate_mask(p.ldet, cfg.detector_threshold)
+        masked = jnp.where(mask, p.ldet, -jnp.inf)
+        ww = p.spec.width
+        if block_reduce:
+            resp, idx = _block_top_k(masked, k)
+        else:
+            resp, idx = jax.lax.top_k(masked.reshape(b, -1), k)  # (B, K)
+        valid = jnp.isfinite(resp)
+        x = (idx % ww).astype(jnp.float32)
+        y = (idx // ww).astype(jnp.float32)
+        s = p.spec
+        ratio = np.float32(2.0**s.octave)
+        size = np.float32(np.float32(s.esigma) * np.float32(cfg.derivative_factor))
+        sigma_size = np.float32(np.round(size / ratio))
+        # Border rejection (scale_space_extrema.rs:96-104), vectorized.
+        smax = extrema.SMAX
+        left = jnp.round(x - smax * sigma_size) - 1.0
+        right = jnp.round(x + smax * sigma_size) + 1.0
+        up = jnp.round(y - smax * sigma_size) - 1.0
+        down = jnp.round(y + smax * sigma_size) + 1.0
+        valid &= (left >= 0) & (right < s.width) & (up >= 0) & (down < s.height)
+        off = np.float32(0.5) * (ratio - np.float32(1.0))
+        cand.append(
+            dict(
+                spec=s,
+                x=x,
+                y=y,
+                # octave-0 coords (with the +off shift applied once;
+                # the sequential path's unshifted compare differs by
+                # <= 1.5 px, far below the 4.8+ px radii)
+                px=x * ratio + off,
+                py=y * ratio + off,
+                resp=jnp.where(valid, resp, -jnp.inf),
+                idx=idx,
+                valid=valid,
+                size=size,
+            )
+        )
+
+    # Candidates must be in (evolution-major, row-major pixel) order for the
+    # sequential dedup: top_k returned response order, so re-sort each
+    # evolution by pixel index (invalid slots pushed to the end).
+    for c in cand:
+        sort_key = jnp.where(c["valid"], c["idx"], jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(sort_key, axis=1)
+        for f in ("x", "y", "px", "py", "resp", "idx", "valid"):
+            c[f] = jnp.take_along_axis(c[f], order, axis=1)
+    return cand
+
+
+def _block_top_k(masked, k):
+    """top_k over a (B, H, W) masked extrema plane via 2x2 block maxima.
+
+    A strict 3x3 local maximum excludes all 8-neighbors, so each 2x2 block
+    holds at most one candidate: the block max + its in-block argmax lose
+    nothing, and the global top_k runs over a 4x smaller array.  Returns
+    responses and flat pixel indices like ``jax.lax.top_k`` on the raw plane.
+    """
+    b, h, w = masked.shape
+    pad_h, pad_w = (-h) % 2, (-w) % 2
+    if pad_h or pad_w:
+        masked = jnp.pad(
+            masked, ((0, 0), (0, pad_h), (0, pad_w)), constant_values=-jnp.inf
+        )
+    hb, wb = masked.shape[1] // 2, masked.shape[2] // 2
+    blocks = masked.reshape(b, hb, 2, wb, 2)
+    # Compare the 4 block members explicitly; track the winner's flat index.
+    vals = [blocks[:, :, dy, :, dx] for dy in (0, 1) for dx in (0, 1)]
+    cols = jnp.arange(wb, dtype=jnp.int32)[None, None, :] * 2
+    rows = jnp.arange(hb, dtype=jnp.int32)[None, :, None] * 2
+    idxs = [
+        (rows + dy) * w + (cols + dx) for dy in (0, 1) for dx in (0, 1)
+    ]
+    best_v, best_i = vals[0], jnp.broadcast_to(idxs[0], vals[0].shape)
+    for v, i in zip(vals[1:], idxs[1:]):
+        take = v > best_v
+        best_v = jnp.where(take, v, best_v)
+        best_i = jnp.where(take, i, best_i)
+    r, pos = jax.lax.top_k(best_v.reshape(b, -1), k)
+    idx = jnp.take_along_axis(best_i.reshape(b, -1), pos, axis=1)
+    return r, idx
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: cross-scale dedup (conflict prefilter + exact sequential scan)
+# ---------------------------------------------------------------------------
+
+
+def stage_dedup(cand, k, scan_cap):
+    """Exact sequential dedup as a device scan (vmapped over frames).
+
+    Candidates with no conflict inside a conservative superset radius bypass
+    the scan as definite survivors; only conflicted ones are compacted into
+    the (capped) sequential scan.  Updates each ``cand[e]['valid']``.
+    """
+    b = cand[0]["x"].shape[0]
+    n_evo = len(cand)
+    ratios = [np.float32(2.0 ** c["spec"].octave) for c in cand]
+    px_cmp = jnp.concatenate([c["x"] * r for c, r in zip(cand, ratios)], axis=1)
+    py_cmp = jnp.concatenate([c["y"] * r for c, r in zip(cand, ratios)], axis=1)
+    px_store = jnp.concatenate([c["px"] for c in cand], axis=1)
+    py_store = jnp.concatenate([c["py"] for c in cand], axis=1)
+    resp_all = jnp.concatenate([c["resp"] for c in cand], axis=1)
+    cls_all = jnp.concatenate(
+        [jnp.full((b, k), e, jnp.int32) for e in range(n_evo)], axis=1
+    )
+    size2_all = jnp.concatenate(
+        [jnp.full((b, k), c["size"] * c["size"], jnp.float32) for c in cand],
+        axis=1,
+    )
+    valid_all = jnp.concatenate([c["valid"] for c in cand], axis=1)
+
+    # Conflict prefilter: a candidate with NO other candidate of the
+    # same or adjacent evolution within a conservative superset radius
+    # can neither suppress nor be suppressed/replaced — it bypasses the
+    # sequential scan as a definite survivor (exactness preserved; the
+    # slack covers the shifted-vs-unshifted coordinate variants used in
+    # the scan's comparisons). This typically shortens the scan 2-4x.
+    #
+    # Slack: the scan compares the tested (later) candidate's *unshifted*
+    # px_cmp against stored (shifted) coords; the prefilter uses stored
+    # coords on both sides, so the per-pair slack is the tested side's
+    # shift, sqrt(2)*0.5*(max_ratio_of_pair - 1) — ZERO for octave-0
+    # pairs, which hold most candidates (the upper-scale suppression pass
+    # compares stored coords on both sides and needs no slack at all).
+    # Evaluated over stacked (B, E, K, K) tensors: two fused ops instead of
+    # ~10 per evolution.
+    def pair_slack(ra, rb):
+        return 0.5 * (max(ra, rb) - 1.0) * np.sqrt(2.0) + 1e-3
+
+    ratios_f = [float(r) for r in ratios]
+    sizes_f = [float(c["size"]) for c in cand]
+    r_self_vec = np.array(
+        [
+            (sizes_f[e] + pair_slack(ratios_f[e], ratios_f[e])) ** 2
+            for e in range(n_evo)
+        ],
+        np.float32,
+    )
+    r_pair_vec = np.array(
+        [
+            (
+                max(sizes_f[e], sizes_f[e + 1])
+                + pair_slack(ratios_f[e], ratios_f[e + 1])
+            )
+            ** 2
+            for e in range(n_evo - 1)
+        ],
+        np.float32,
+    )
+
+    px_s = px_store.reshape(b, n_evo, k)
+    py_s = py_store.reshape(b, n_evo, k)
+    val_s = valid_all.reshape(b, n_evo, k)
+
+    dx = px_s[:, :, :, None] - px_s[:, :, None, :]
+    dy = py_s[:, :, :, None] - py_s[:, :, None, :]
+    close = (dx * dx + dy * dy) <= jnp.asarray(r_self_vec)[None, :, None, None]
+    close &= ~jnp.eye(k, dtype=bool)[None, None]  # self-distance never counts
+    close &= val_s[:, :, None, :] & val_s[:, :, :, None]
+    conflicted = jnp.any(close, axis=-1)  # (B, E, K)
+
+    dxa = px_s[:, :-1, :, None] - px_s[:, 1:, None, :]
+    dya = py_s[:, :-1, :, None] - py_s[:, 1:, None, :]
+    close_a = (dxa * dxa + dya * dya) <= jnp.asarray(r_pair_vec)[None, :, None, None]
+    close_a &= val_s[:, :-1, :, None] & val_s[:, 1:, None, :]
+    lo_hit = jnp.any(close_a, axis=-1)  # (B, E-1, K): lower evo vs upper
+    hi_hit = jnp.any(close_a, axis=-2)  # (B, E-1, K): upper evo vs lower
+    zpad = jnp.zeros((b, 1, k), bool)
+    conflicted = (
+        conflicted
+        | jnp.concatenate([lo_hit, zpad], axis=1)
+        | jnp.concatenate([zpad, hi_hit], axis=1)
+    )
+
+    conf_all = conflicted.reshape(b, n_evo * k) & valid_all
+    c_total_slots = conf_all.shape[1]
+    scan_cap = min(scan_cap, c_total_slots)
+    # Stable compaction: conflicted candidates first, original order kept.
+    comp_key = jnp.where(conf_all, 0, 1) * c_total_slots + jnp.arange(c_total_slots)
+    comp_order = jnp.argsort(comp_key, axis=1)[:, :scan_cap]
+
+    def takec(a):
+        return jnp.take_along_axis(a, comp_order, axis=1)
+
+    # Conflicted candidates occupy a prefix after compaction; bound the
+    # sequential scan by the per-frame conflict count (a vmapped while_loop
+    # costs max-over-batch steps instead of the static cap).
+    n_steps = jnp.minimum(
+        jnp.sum(conf_all, axis=1).astype(jnp.int32), jnp.int32(scan_cap)
+    )
+    survive_scan = jax.vmap(extrema.dedup_scan_device)(
+        takec(px_cmp),
+        takec(py_cmp),
+        takec(px_store),
+        takec(py_store),
+        takec(resp_all),
+        takec(cls_all),
+        takec(size2_all),
+        takec(valid_all & conf_all),
+        n_steps,
+    )
+    # Scatter scan survivors back. Non-conflicted valid candidates pass
+    # straight through, as do conflicted candidates beyond the scan cap
+    # (keep-don't-drop overflow policy, like the other fixed budgets).
+    conf_rank = jnp.cumsum(conf_all.astype(jnp.int32), axis=1) - 1
+    overflow = conf_all & (conf_rank >= scan_cap)
+    survive = valid_all & (~conf_all | overflow)
+    survive = survive.at[jnp.arange(b)[:, None], comp_order].max(survive_scan)
+    for e in range(n_evo):
+        cand[e]["valid"] = survive[:, e * k : (e + 1) * k]
+    return cand
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: flat plane buffers + static per-slot tables
+# ---------------------------------------------------------------------------
+
+
+def flat_ldet_buffer(planes):
+    """One 1-D Ldet buffer spanning all evolutions, so the subpixel stage's
+    samples are 1-D gathers with per-keypoint base offsets (the fastest
+    gather form on TPU)."""
+    b = planes[0].ldet.shape[0]
+    return jnp.concatenate([p.ldet.reshape(b, -1) for p in planes], axis=1)
+
+
+def flat_pack_buffer(planes):
+    """Packed (Lt, Lx, Ly) 1-D buffer for the gather sampler: all three
+    planes fetched with ONE index-bound gather (trailing 3-slice)."""
+    b = planes[0].ldet.shape[0]
+    return jnp.concatenate(
+        [
+            jnp.stack(
+                [p.lt.reshape(b, -1), p.lx.reshape(b, -1), p.ly.reshape(b, -1)],
+                axis=-1,
+            )
+            for p in planes
+        ],
+        axis=1,
+    )
+
+
+def padded_plane_stack(planes):
+    """(B*n_evo, 3, Hp, Wp) zero-padded (Lt, Lx, Ly) stack: the shared
+    sampling source for orientation and one-hot M-LDB.
+
+    Channel-MAJOR on purpose: a trailing channel dim of 3 would land in the
+    TPU lane dimension and be tile-padded 3 -> 128 (a 42x memory/bandwidth
+    blowup, measured: a (104, 512, 1392, 3) f32 output allocates 37.9 GB);
+    with channels ahead of (H, W) the tiled dims are the full image planes.
+    """
+    b = planes[0].ldet.shape[0]
+    n_evo = len(planes)
+    h, w = planes[0].lt.shape[-2], planes[0].lt.shape[-1]
+    hp = max(128, h)
+    wp = max(128, w)
+    stack = jnp.zeros((b, n_evo, 3, hp, wp), jnp.float32)
+    for e, p in enumerate(planes):
+        stack = stack.at[:, e, :, : p.lt.shape[-2], : p.lt.shape[-1]].set(
+            jnp.stack([p.lt, p.lx, p.ly], axis=1)
+        )
+    return stack.reshape(b * n_evo, 3, hp, wp)
+
+
+def slot_tables(cfg, specs, k):
+    """Static per-slot numpy tables over the concatenated candidate axis."""
+    n_evo = len(specs)
+    sizes_px = [s.height * s.width for s in specs]
+    bases = np.concatenate([[0], np.cumsum(sizes_px)[:-1]]).astype(np.int32)
+    return dict(
+        slot_cls=np.repeat(np.arange(n_evo), k).astype(np.int32),
+        width=np.array([s.width for s in specs], np.int32),
+        height=np.array([s.height for s in specs], np.int32),
+        base=bases,
+        power=np.array([2.0**s.octave for s in specs], np.float32),
+        octave=np.array([s.octave for s in specs], np.int32),
+        size2x=np.array(
+            [
+                np.float32(np.float32(s.esigma) * np.float32(cfg.derivative_factor))
+                * np.float32(2.0)
+                for s in specs
+            ],
+            np.float32,
+        ),
+        ssamp=np.array(
+            [
+                np.float32(
+                    np.round(
+                        np.float32(np.float32(s.esigma) * cfg.derivative_factor)
+                        / np.float32(2.0**s.octave)
+                    )
+                )
+                for s in specs
+            ],
+            np.float32,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: subpixel refinement + global top-M selection
+# ---------------------------------------------------------------------------
+
+
+def stage_refine_select(cfg, specs, cand, flat_ldet, k, max_features):
+    """Subpixel-refine every surviving slot (9 flat gathers) and compact the
+    global top-M by response to (B, M) selection arrays."""
+    b = flat_ldet.shape[0]
+    n_evo = len(specs)
+    t = slot_tables(cfg, specs, k)
+    slot_cls = t["slot_cls"]
+    c_total = n_evo * k
+
+    x_all = jnp.concatenate([c["x"] for c in cand], axis=1).astype(jnp.int32)
+    y_all = jnp.concatenate([c["y"] for c in cand], axis=1).astype(jnp.int32)
+    resp_ok = jnp.where(
+        jnp.concatenate([c["valid"] for c in cand], axis=1),
+        jnp.concatenate([c["resp"] for c in cand], axis=1),
+        -jnp.inf,
+    )
+
+    sw = jnp.asarray(t["width"])[slot_cls][None, :]
+    sh = jnp.asarray(t["height"])[slot_cls][None, :]
+    sb = jnp.asarray(t["base"])[slot_cls][None, :]
+    xs = jnp.clip(x_all, 1, sw - 2)
+    ys = jnp.clip(y_all, 1, sh - 2)
+    center = sb + ys * sw + xs
+
+    def at(dx, dy):
+        return jnp.take_along_axis(flat_ldet, center + dy * sw + dx, axis=1)
+
+    v = at(0, 0)
+    d_x = 0.5 * (at(1, 0) - at(-1, 0))
+    d_y = 0.5 * (at(0, 1) - at(0, -1))
+    d_xx = at(1, 0) + at(-1, 0) - 2.0 * v
+    d_yy = at(0, 1) + at(0, -1) - 2.0 * v
+    d_xy = 0.25 * (at(1, 1) + at(-1, -1)) - 0.25 * (at(1, -1) + at(-1, 1))
+    inv_det = 1.0 / (d_xx * d_yy - d_xy * d_xy)
+    dst0 = -d_x * (inv_det * d_yy) + -d_y * (inv_det * -d_xy)
+    dst1 = -d_x * (inv_det * -d_xy) + -d_y * (inv_det * d_xx)
+    refine_ok = (jnp.abs(dst0) <= 1.0) & (jnp.abs(dst1) <= 1.0)
+    resp_ok = jnp.where(refine_ok, resp_ok, -jnp.inf)
+    pw = jnp.asarray(t["power"])[slot_cls][None, :]
+    px = (xs.astype(jnp.float32) + dst0) * pw + 0.5 * (pw - 1.0)
+    py = (ys.astype(jnp.float32) + dst1) * pw + 0.5 * (pw - 1.0)
+
+    # Global top-M by response; compact every field to (B, M).
+    m = min(max_features, c_total)
+    top_resp, top_idx = jax.lax.top_k(resp_ok, m)  # (B, M)
+
+    sel_cls = jnp.asarray(slot_cls)[top_idx]  # (B, M)
+    sel = dict(
+        resp=top_resp,
+        cls=sel_cls,
+        base=jnp.asarray(t["base"])[sel_cls],
+        w=jnp.asarray(t["width"])[sel_cls],
+        h=jnp.asarray(t["height"])[sel_cls],
+        pw=jnp.asarray(t["power"])[sel_cls],
+        size=jnp.asarray(t["size2x"])[sel_cls],
+        ssamp=jnp.asarray(t["ssamp"])[sel_cls],
+        oct=jnp.asarray(t["octave"])[sel_cls],
+        px=jnp.take_along_axis(px, top_idx, axis=1),
+        py=jnp.take_along_axis(py, top_idx, axis=1),
+        valid=jnp.isfinite(top_resp),
+    )
+    return sel
+
+
+# ---------------------------------------------------------------------------
+# Stage 5: orientation + M-LDB descriptors
+# ---------------------------------------------------------------------------
+
+
+def stage_describe(cfg, planes, sel, sampler: str, onehot_mode: str = "highest"):
+    """Dominant orientation then M-LDB words for the selected keypoints."""
+    b, m = sel["resp"].shape
+    n_evo = len(planes)
+    xf = sel["px"] / sel["pw"]
+    yf = sel["py"] / sel["pw"]
+
+    if sampler == "onehot":
+        # Fused orientation + M-LDB: one 128x128x3 patch extraction per
+        # keypoint from the shared channel-major padded stack, all samples
+        # resolved by factorized one-hot MXU selection (bitwise-equal to the
+        # gather path; see descriptors.orient_mldb_onehot).
+        planes_padded = padded_plane_stack(planes)
+        lvl = (jnp.arange(b, dtype=jnp.int32)[:, None] * n_evo + sel["cls"]).reshape(-1)
+        words, w_ok, angle = desc.orient_mldb_onehot(
+            planes_padded,
+            lvl,
+            sel["w"].reshape(-1),
+            sel["h"].reshape(-1),
+            xf.reshape(-1),
+            yf.reshape(-1),
+            sel["ssamp"].reshape(-1),
+            pattern_size=cfg.descriptor_pattern_size,
+            mode=onehot_mode,
+        )
+        words = words.reshape(b, m, -1)
+        w_ok = w_ok.reshape(b, m)
+        angle = angle.reshape(b, m)
+    else:
+        flat_pack = flat_pack_buffer(planes)
+        angle = jax.vmap(desc.orientation_flat)(
+            flat_pack, sel["base"], sel["w"], sel["h"], xf, yf, sel["ssamp"]
+        )
+        words, w_ok = jax.vmap(
+            partial(desc.mldb_flat, pattern_size=cfg.descriptor_pattern_size)
+        )(flat_pack, sel["base"], sel["w"], sel["h"], xf, yf, sel["ssamp"], angle)
+
+    return FeatureSet(
+        point=jnp.stack([sel["px"], sel["py"]], axis=-1),
+        response=sel["resp"],
+        size=sel["size"],
+        angle=angle,
+        octave=sel["oct"],
+        class_id=sel["cls"],
+        words=words,
+        valid=sel["valid"] & w_ok,
+    )
+
+
 class DeviceExtractor:
     """Jit-compiled batched extractor for a fixed image shape.
 
@@ -64,6 +510,8 @@ class DeviceExtractor:
         max_features: int = 1024,
         sampler: str = "onehot",
         dedup_scan_cap: int = 1024,
+        block_reduce: bool = True,
+        onehot_mode: str = "highest",
     ):
         self.config = config or Akaze()
         self.candidate_budget = candidate_budget
@@ -74,6 +522,14 @@ class DeviceExtractor:
         # Max conflicted candidates resolved by the sequential scan; the
         # conflict prefilter usually leaves far fewer than the raw budget.
         self.dedup_scan_cap = dedup_scan_cap
+        # Exact 2x2 block-reduce before the candidate top_k (see
+        # stage_candidates; False = raw one-stage top_k).
+        self.block_reduce = block_reduce
+        # One-hot contraction strategy: 'highest' (f32 Precision.HIGHEST —
+        # bit-exact AND faster than a manual bf16x3 split, measured 31 vs
+        # 68 ms; the manual split also loses bit-exactness to split-term
+        # re-addition rounding) or 'bf16x3' (kept for experiments).
+        self.onehot_mode = onehot_mode
         from .extract import AkazeExtractor
 
         self._helper = AkazeExtractor(self.config)
@@ -86,301 +542,9 @@ class DeviceExtractor:
         b, h, w = images.shape
         specs = self._helper.specs(h, w)
         planes = build_scale_space(cfg, specs, images)
-
-        # 1. Per-evolution top-K candidates.
         k = self.candidate_budget
-        cand = []
-        for p in planes:
-            mask = extrema.candidate_mask(p.ldet, cfg.detector_threshold)
-            flat = jnp.where(mask, p.ldet, -jnp.inf).reshape(b, -1)
-            resp, idx = jax.lax.top_k(flat, k)  # (B, K)
-            valid = jnp.isfinite(resp)
-            ww = p.spec.width
-            x = (idx % ww).astype(jnp.float32)
-            y = (idx // ww).astype(jnp.float32)
-            s = p.spec
-            ratio = np.float32(2.0**s.octave)
-            size = np.float32(np.float32(s.esigma) * np.float32(cfg.derivative_factor))
-            sigma_size = np.float32(np.round(size / ratio))
-            # Border rejection (scale_space_extrema.rs:96-104), vectorized.
-            smax = extrema.SMAX
-            left = jnp.round(x - smax * sigma_size) - 1.0
-            right = jnp.round(x + smax * sigma_size) + 1.0
-            up = jnp.round(y - smax * sigma_size) - 1.0
-            down = jnp.round(y + smax * sigma_size) + 1.0
-            valid &= (left >= 0) & (right < s.width) & (up >= 0) & (down < s.height)
-            off = np.float32(0.5) * (ratio - np.float32(1.0))
-            cand.append(
-                dict(
-                    spec=s,
-                    x=x,
-                    y=y,
-                    # octave-0 coords (with the +off shift applied once;
-                    # the sequential path's unshifted compare differs by
-                    # <= 1.5 px, far below the 4.8+ px radii)
-                    px=x * ratio + off,
-                    py=y * ratio + off,
-                    resp=jnp.where(valid, resp, -jnp.inf),
-                    idx=idx,
-                    valid=valid,
-                    size=size,
-                )
-            )
-
-        # 2. Exact sequential dedup as a device scan (vmapped over frames).
-        # Candidates must be in (evolution-major, row-major pixel) order:
-        # top_k returned response order, so re-sort each evolution by pixel
-        # index (invalid slots pushed to the end).
-        n_evo = len(cand)
-        for c in cand:
-            sort_key = jnp.where(c["valid"], c["idx"], jnp.iinfo(jnp.int32).max)
-            order = jnp.argsort(sort_key, axis=1)
-            for f in ("x", "y", "px", "py", "resp", "idx", "valid"):
-                c[f] = jnp.take_along_axis(c[f], order, axis=1)
-
-        ratios = [np.float32(2.0 ** c["spec"].octave) for c in cand]
-        px_cmp = jnp.concatenate(
-            [c["x"] * r for c, r in zip(cand, ratios)], axis=1
-        )
-        py_cmp = jnp.concatenate(
-            [c["y"] * r for c, r in zip(cand, ratios)], axis=1
-        )
-        px_store = jnp.concatenate([c["px"] for c in cand], axis=1)
-        py_store = jnp.concatenate([c["py"] for c in cand], axis=1)
-        resp_all = jnp.concatenate([c["resp"] for c in cand], axis=1)
-        cls_all = jnp.concatenate(
-            [jnp.full((b, k), e, jnp.int32) for e in range(n_evo)], axis=1
-        )
-        size2_all = jnp.concatenate(
-            [jnp.full((b, k), c["size"] * c["size"], jnp.float32) for c in cand],
-            axis=1,
-        )
-        valid_all = jnp.concatenate([c["valid"] for c in cand], axis=1)
-
-        # Conflict prefilter: a candidate with NO other candidate of the
-        # same or adjacent evolution within a conservative superset radius
-        # can neither suppress nor be suppressed/replaced — it bypasses the
-        # sequential scan as a definite survivor (exactness preserved; the
-        # slack covers the shifted-vs-unshifted coordinate variants used in
-        # the scan's comparisons). This typically shortens the scan 2-4x.
-        def conflicts_with(ca, cb, radius2):
-            dx = ca["px"][:, :, None] - cb["px"][:, None, :]
-            dy = ca["py"][:, :, None] - cb["py"][:, None, :]
-            close = (dx * dx + dy * dy) <= radius2
-            hit = close & cb["valid"][:, None, :] & ca["valid"][:, :, None]
-            return jnp.any(hit, axis=-1)
-
-        # Slack: the scan compares a mix of shifted/unshifted octave-0
-        # coordinates; one side differs by at most 0.5*(ratio-1)*sqrt(2).
-        max_ratio = max(2.0 ** c["spec"].octave for c in cand)
-        slack = np.float32(0.5 * (max_ratio - 1.0) * np.sqrt(2.0) + 0.3)
-        conflicted = [jnp.zeros_like(c["valid"]) for c in cand]
-        for e in range(n_evo):
-            c = cand[e]
-            r_self = np.float32((c["size"] + slack) ** 2)
-            dx = c["px"][:, :, None] - c["px"][:, None, :]
-            dy = c["py"][:, :, None] - c["py"][:, None, :]
-            close = (dx * dx + dy * dy) <= r_self
-            close &= ~jnp.eye(k, dtype=bool)[None]  # self-distance never counts
-            close &= c["valid"][:, None, :] & c["valid"][:, :, None]
-            conflicted[e] |= jnp.any(close, axis=-1)
-            if e + 1 < n_evo:
-                hi = cand[e + 1]
-                r_pair = np.float32((max(c["size"], hi["size"]) + slack) ** 2)
-                lo_hit = conflicts_with(c, hi, r_pair)
-                hi_hit = conflicts_with(hi, c, r_pair)
-                conflicted[e] |= lo_hit
-                conflicted[e + 1] |= hi_hit
-
-        conf_all = jnp.concatenate(conflicted, axis=1) & valid_all
-        c_total_slots = conf_all.shape[1]
-        scan_cap = min(self.dedup_scan_cap, c_total_slots)
-        # Stable compaction: conflicted candidates first, original order kept.
-        comp_key = jnp.where(conf_all, 0, 1) * c_total_slots + jnp.arange(
-            c_total_slots
-        )
-        comp_order = jnp.argsort(comp_key, axis=1)[:, :scan_cap]
-
-        def takec(a):
-            return jnp.take_along_axis(a, comp_order, axis=1)
-
-        survive_scan = jax.vmap(extrema.dedup_scan_device)(
-            takec(px_cmp),
-            takec(py_cmp),
-            takec(px_store),
-            takec(py_store),
-            takec(resp_all),
-            takec(cls_all),
-            takec(size2_all),
-            takec(valid_all & conf_all),
-        )
-        # Scatter scan survivors back. Non-conflicted valid candidates pass
-        # straight through, as do conflicted candidates beyond the scan cap
-        # (keep-don't-drop overflow policy, like the other fixed budgets).
-        conf_rank = jnp.cumsum(conf_all.astype(jnp.int32), axis=1) - 1
-        overflow = conf_all & (conf_rank >= scan_cap)
-        survive = valid_all & (~conf_all | overflow)
-        survive = survive.at[jnp.arange(b)[:, None], comp_order].max(survive_scan)
-        for e in range(n_evo):
-            cand[e]["valid"] = survive[:, e * k : (e + 1) * k]
-
-        # 3. Flat plane buffers: one 1-D buffer per plane type spanning all
-        # evolutions, so every downstream sample is ONE 1-D gather with
-        # per-keypoint base offsets (the fastest gather form on TPU).
-        sizes_px = [s.height * s.width for s in specs]
-        bases = np.concatenate([[0], np.cumsum(sizes_px)[:-1]]).astype(np.int32)
-        flat_ldet = jnp.concatenate([p.ldet.reshape(b, -1) for p in planes], axis=1)
-        # Packed (Lt, Lx, Ly) buffer: descriptor/orientation sampling fetches
-        # all three planes with ONE index-bound gather (trailing 3-slice).
-        flat_pack = jnp.concatenate(
-            [
-                jnp.stack(
-                    [p.lt.reshape(b, -1), p.lx.reshape(b, -1), p.ly.reshape(b, -1)],
-                    axis=-1,
-                )
-                for p in planes
-            ],
-            axis=1,
-        )
-
-        # Static per-slot tables over the concatenated candidate axis (C,).
-        c_total = n_evo * k
-        slot_cls = np.repeat(np.arange(n_evo), k).astype(np.int32)
-        t_width = np.array([s.width for s in specs], np.int32)
-        t_height = np.array([s.height for s in specs], np.int32)
-        t_base = bases
-        t_power = np.array([2.0**s.octave for s in specs], np.float32)
-        t_octave = np.array([s.octave for s in specs], np.int32)
-        t_size2x = np.array(
-            [
-                np.float32(np.float32(s.esigma) * np.float32(cfg.derivative_factor))
-                * np.float32(2.0)
-                for s in specs
-            ],
-            np.float32,
-        )
-        t_ssamp = np.array(
-            [
-                np.float32(
-                    np.round(
-                        np.float32(np.float32(s.esigma) * cfg.derivative_factor)
-                        / np.float32(2.0**s.octave)
-                    )
-                )
-                for s in specs
-            ],
-            np.float32,
-        )
-
-        x_all = jnp.concatenate([c["x"] for c in cand], axis=1).astype(jnp.int32)
-        y_all = jnp.concatenate([c["y"] for c in cand], axis=1).astype(jnp.int32)
-        # (valid_all/resp_all updated by the dedup above.)
-        resp_ok = jnp.where(
-            jnp.concatenate([c["valid"] for c in cand], axis=1),
-            jnp.concatenate([c["resp"] for c in cand], axis=1),
-            -jnp.inf,
-        )
-
-        # 4. Subpixel refinement for every surviving slot (9 flat gathers).
-        sw = jnp.asarray(t_width)[slot_cls][None, :]
-        sh = jnp.asarray(t_height)[slot_cls][None, :]
-        sb = jnp.asarray(t_base)[slot_cls][None, :]
-        xs = jnp.clip(x_all, 1, sw - 2)
-        ys = jnp.clip(y_all, 1, sh - 2)
-        center = sb + ys * sw + xs
-
-        def at(dx, dy):
-            return jnp.take_along_axis(flat_ldet, center + dy * sw + dx, axis=1)
-
-        v = at(0, 0)
-        d_x = 0.5 * (at(1, 0) - at(-1, 0))
-        d_y = 0.5 * (at(0, 1) - at(0, -1))
-        d_xx = at(1, 0) + at(-1, 0) - 2.0 * v
-        d_yy = at(0, 1) + at(0, -1) - 2.0 * v
-        d_xy = 0.25 * (at(1, 1) + at(-1, -1)) - 0.25 * (at(1, -1) + at(-1, 1))
-        inv_det = 1.0 / (d_xx * d_yy - d_xy * d_xy)
-        dst0 = -d_x * (inv_det * d_yy) + -d_y * (inv_det * -d_xy)
-        dst1 = -d_x * (inv_det * -d_xy) + -d_y * (inv_det * d_xx)
-        refine_ok = (jnp.abs(dst0) <= 1.0) & (jnp.abs(dst1) <= 1.0)
-        resp_ok = jnp.where(refine_ok, resp_ok, -jnp.inf)
-        pw = jnp.asarray(t_power)[slot_cls][None, :]
-        px = (xs.astype(jnp.float32) + dst0) * pw + 0.5 * (pw - 1.0)
-        py = (ys.astype(jnp.float32) + dst1) * pw + 0.5 * (pw - 1.0)
-
-        # 5. Global top-M by response; compact every field to (B, M).
-        m = min(self.max_features, c_total)
-        top_resp, top_idx = jax.lax.top_k(resp_ok, m)  # (B, M)
-
-        def take(a):
-            return jnp.take_along_axis(a, top_idx, axis=1)
-
-        sel_cls = jnp.asarray(slot_cls)[top_idx]  # (B, M)
-        sel_base = jnp.asarray(t_base)[sel_cls]
-        sel_w = jnp.asarray(t_width)[sel_cls]
-        sel_h = jnp.asarray(t_height)[sel_cls]
-        sel_pw = jnp.asarray(t_power)[sel_cls]
-        sel_size = jnp.asarray(t_size2x)[sel_cls]
-        sel_ssamp = jnp.asarray(t_ssamp)[sel_cls]
-        sel_oct = jnp.asarray(t_octave)[sel_cls]
-        sel_px = take(px)
-        sel_py = take(py)
-        sel_valid = jnp.isfinite(top_resp)
-        xf = sel_px / sel_pw
-        yf = sel_py / sel_pw
-
-        # 6. Orientation then M-LDB, flat-addressed, vmapped over frames.
-        angle = jax.vmap(desc.orientation_flat)(
-            flat_pack, sel_base, sel_w, sel_h, xf, yf, sel_ssamp
-        )
-        if self.sampler == "onehot":
-            # Gather-free sampling: padded plane stack + factorized one-hot
-            # MXU selection (bitwise-equal to the gather path, ~1.7x faster
-            # on TPU; see descriptors.mldb_flat_onehot).
-            hp = max(128, h)
-            wp = max(128, w)
-            planes_padded = jnp.zeros((b, n_evo, hp, wp, 3), jnp.float32)
-            for e, p in enumerate(planes):
-                planes_padded = planes_padded.at[
-                    :, e, : p.lt.shape[-2], : p.lt.shape[-1], :
-                ].set(jnp.stack([p.lt, p.lx, p.ly], axis=-1))
-            planes_padded = planes_padded.reshape(b * n_evo, hp, wp, 3)
-            lvl = (
-                jnp.arange(b, dtype=jnp.int32)[:, None] * n_evo + sel_cls
-            ).reshape(-1)
-            words, w_ok = desc.mldb_flat_onehot(
-                planes_padded,
-                lvl,
-                sel_w.reshape(-1),
-                sel_h.reshape(-1),
-                xf.reshape(-1),
-                yf.reshape(-1),
-                sel_ssamp.reshape(-1),
-                angle.reshape(-1),
-                pattern_size=cfg.descriptor_pattern_size,
-            )
-            words = words.reshape(b, m, -1)
-            w_ok = w_ok.reshape(b, m)
-        else:
-            words, w_ok = jax.vmap(
-                partial(desc.mldb_flat, pattern_size=cfg.descriptor_pattern_size)
-            )(
-                flat_pack,
-                sel_base,
-                sel_w,
-                sel_h,
-                xf,
-                yf,
-                sel_ssamp,
-                angle,
-            )
-
-        return FeatureSet(
-            point=jnp.stack([sel_px, sel_py], axis=-1),
-            response=top_resp,
-            size=sel_size,
-            angle=angle,
-            octave=sel_oct,
-            class_id=sel_cls,
-            words=words,
-            valid=sel_valid & w_ok,
-        )
+        cand = stage_candidates(cfg, specs, planes, k, self.block_reduce)
+        cand = stage_dedup(cand, k, self.dedup_scan_cap)
+        flat_ldet = flat_ldet_buffer(planes)
+        sel = stage_refine_select(cfg, specs, cand, flat_ldet, k, self.max_features)
+        return stage_describe(cfg, planes, sel, self.sampler, self.onehot_mode)
