@@ -249,7 +249,7 @@ def stages_main(batch_size=BATCH):
 
     j_cand = jax.jit(
         lambda arrs: strip_cand(
-            fast.stage_candidates(cfg, specs, arrays_to_planes(arrs), k, ex.block_reduce)
+            fast.stage_candidates(cfg, specs, arrays_to_planes(arrs), k, ex.topk_method)
         )
     )
     timings["candidates_topk"], cand_s = _time_jit(j_cand, plane_arrs)

@@ -59,28 +59,66 @@ class FeatureSet:
 # ---------------------------------------------------------------------------
 
 
-def stage_candidates(cfg, specs, planes, k, block_reduce: bool = True):
+def stage_candidates(cfg, specs, planes, k, topk_method: str = "compact"):
     """Masked per-evolution top-K extrema candidates, pixel-order sorted.
 
-    ``block_reduce``: run the top_k over 2x2 block maxima instead of raw
-    pixels.  This is *exact*: extrema are strict 3x3 local maxima, so no two
-    can be 8-adjacent and a 2x2 block holds at most one — reducing the
-    top_k input 4x.  (Response ties across blocks may select a different
-    equal-valued candidate at the budget boundary; responses are continuous
-    Hessian determinants so exact ties across distinct pixels do not occur
-    in practice, and the goldens gate it.)
+    ``topk_method`` selects how the per-evolution budget is filled:
+
+    * ``"compact"`` — exact pixel-order compaction (no sort at all; see
+      :func:`_compact_candidates`).  Keeps the FIRST K candidates in pixel
+      order on budget overflow — the reference iterates candidates in pixel
+      order with no budget, so this is the faithful policy, and identical
+      to top_k whenever a plane holds <= K candidates (typical count ~123
+      vs K=256).
+    * ``"block"`` — exact strongest-K: top_k over 2x2 block maxima (a
+      strict 3x3 local max excludes 8-neighbors, so each 2x2 block holds at
+      most one candidate; 4x smaller top_k input), then pixel-order sort.
+    * ``"approx"`` — ``jax.lax.approx_max_k`` (TPU PartialReduce, recall
+      0.99); can drop a candidate when two land in one shard (measured:
+      one of 123 on the KITTI goldens), kept for experiments.
+    * ``"raw"`` — exact strongest-K one-stage ``jax.lax.top_k``.
     """
     b = planes[0].ldet.shape[0]
-    cand = []
-    for p in planes:
-        mask = extrema.candidate_mask(p.ldet, cfg.detector_threshold)
-        masked = jnp.where(mask, p.ldet, -jnp.inf)
-        ww = p.spec.width
-        if block_reduce:
-            resp, idx = _block_top_k(masked, k)
+
+    # Group consecutive evolutions that share a plane shape (one octave):
+    # masks, block-reduce and top_k run once per GROUP over stacked
+    # (B*S, H, W) planes instead of once per evolution.
+    groups = []
+    for i, p in enumerate(planes):
+        shape = p.ldet.shape[-2:]
+        if groups and groups[-1][0] == shape:
+            groups[-1][1].append(i)
         else:
-            resp, idx = jax.lax.top_k(masked.reshape(b, -1), k)  # (B, K)
+            groups.append([shape, [i]])
+
+    resp_list = [None] * len(planes)
+    idx_list = [None] * len(planes)
+    for _, idxs_g in groups:
+        stacked = jnp.stack([planes[i].ldet for i in idxs_g], axis=1)
+        s_count = len(idxs_g)
+        mask = extrema.candidate_mask(stacked, cfg.detector_threshold)
+        masked = jnp.where(mask, stacked, -jnp.inf)
+        flat = masked.reshape((b * s_count,) + masked.shape[-2:])
+        if topk_method == "compact":
+            resp_g, idx_g = _compact_candidates(flat.reshape(b * s_count, -1), k)
+        elif topk_method == "approx":
+            resp_g, idx_g = jax.lax.approx_max_k(
+                flat.reshape(b * s_count, -1), k, recall_target=0.99
+            )
+        elif topk_method == "block":
+            resp_g, idx_g = _block_top_k(flat, k)
+        else:
+            resp_g, idx_g = jax.lax.top_k(flat.reshape(b * s_count, -1), k)
+        resp_g = resp_g.reshape(b, s_count, k)
+        idx_g = idx_g.reshape(b, s_count, k)
+        for j, i in enumerate(idxs_g):
+            resp_list[i] = resp_g[:, j]
+            idx_list[i] = idx_g[:, j]
+
+    cand = []
+    for p, resp, idx in zip(planes, resp_list, idx_list):
         valid = jnp.isfinite(resp)
+        ww = p.spec.width
         x = (idx % ww).astype(jnp.float32)
         y = (idx // ww).astype(jnp.float32)
         s = p.spec
@@ -112,15 +150,71 @@ def stage_candidates(cfg, specs, planes, k, block_reduce: bool = True):
             )
         )
 
+    if topk_method == "compact":
+        # Compaction already emits candidates in pixel order with invalid
+        # slots at the end — no sort needed.
+        return cand
+
     # Candidates must be in (evolution-major, row-major pixel) order for the
     # sequential dedup: top_k returned response order, so re-sort each
-    # evolution by pixel index (invalid slots pushed to the end).
-    for c in cand:
-        sort_key = jnp.where(c["valid"], c["idx"], jnp.iinfo(jnp.int32).max)
-        order = jnp.argsort(sort_key, axis=1)
-        for f in ("x", "y", "px", "py", "resp", "idx", "valid"):
-            c[f] = jnp.take_along_axis(c[f], order, axis=1)
+    # evolution by pixel index (invalid slots pushed to the end) — one
+    # vectorized argsort over all evolutions at once.
+    fields = ("x", "y", "px", "py", "resp", "idx", "valid")
+    stacked_f = {f: jnp.stack([c[f] for c in cand], axis=1) for f in fields}
+    sort_key = jnp.where(
+        stacked_f["valid"], stacked_f["idx"], jnp.iinfo(jnp.int32).max
+    )
+    order = jnp.argsort(sort_key, axis=-1)
+    for f in fields:
+        taken = jnp.take_along_axis(stacked_f[f], order, axis=-1)
+        for e, c in enumerate(cand):
+            c[f] = taken[:, e]
     return cand
+
+
+def _compact_candidates(masked, k, chunk: int = 128):
+    """Exact pixel-order compaction of sparse extrema candidates.
+
+    ``masked``: (N, T) plane rows with non-candidates at -inf.  Returns
+    ``(resp, idx)`` of the FIRST ``k`` candidates in pixel order (invalid
+    slots -inf / clamped), replacing top_k + pixel-order argsort: identical
+    output whenever the plane holds <= k candidates (the reference has no
+    budget at all, so pixel-order-first is the faithful overflow policy).
+
+    Mechanics: per-128-chunk candidate counts -> tiny cumsum ->
+    ``searchsorted`` locates each output slot's chunk -> in-chunk rank via a
+    128-wide prefix sum.  Cost is ~2 passes over the plane + O(k) work; no
+    large sort.
+    """
+    n, total = masked.shape
+    pad = (-total) % chunk
+    if pad:
+        masked = jnp.pad(masked, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    nch = masked.shape[1] // chunk
+    ch = masked.reshape(n, nch, chunk)
+    fin = jnp.isfinite(ch)
+    counts = jnp.sum(fin, axis=-1, dtype=jnp.int32)  # (N, C)
+    csum = jnp.cumsum(counts, axis=1)  # inclusive
+    targets = jnp.arange(1, k + 1, dtype=jnp.int32)  # p-th candidate, 1-based
+    cidx = jax.vmap(lambda cs: jnp.searchsorted(cs, targets, side="left"))(csum)
+    cidx = jnp.minimum(cidx, nch - 1).astype(jnp.int32)
+    prev = jnp.where(
+        cidx > 0,
+        jnp.take_along_axis(csum, jnp.maximum(cidx - 1, 0), axis=1),
+        0,
+    )
+    rank = targets[None, :] - 1 - prev  # 0-based rank within the chunk
+    chunk_vals = jnp.take_along_axis(ch, cidx[:, :, None], axis=1)  # (N, k, 128)
+    chunk_fin = jnp.isfinite(chunk_vals)
+    prefix = jnp.cumsum(chunk_fin.astype(jnp.int32), axis=-1)
+    hit = chunk_fin & (prefix == rank[:, :, None] + 1)
+    pos_in = jnp.argmax(hit, axis=-1).astype(jnp.int32)  # (N, k)
+    valid = targets[None, :] <= csum[:, -1][:, None]
+    idx = cidx * chunk + pos_in
+    resp = jnp.take_along_axis(chunk_vals, pos_in[:, :, None], axis=-1)[..., 0]
+    resp = jnp.where(valid, resp, -jnp.inf)
+    idx = jnp.where(valid, jnp.minimum(idx, total - 1), total - 1)
+    return resp, idx
 
 
 def _block_top_k(masked, k):
@@ -378,13 +472,18 @@ def slot_tables(cfg, specs, k):
 # ---------------------------------------------------------------------------
 
 
-def stage_refine_select(cfg, specs, cand, flat_ldet, k, max_features):
-    """Subpixel-refine every surviving slot (9 flat gathers) and compact the
-    global top-M by response to (B, M) selection arrays."""
+def stage_refine_select(cfg, specs, cand, flat_ldet, k, max_features, slack=128):
+    """Preselect the top (M + slack) candidates by response, subpixel-refine
+    only those, then compact the final top-M to (B, M) selection arrays.
+
+    Refinement never changes a response — it only *drops* keypoints with
+    |delta| > 1 — so refining the top (M + slack) is exact unless more than
+    ``slack`` of them fail refinement (goldens + exact-path tests gate it).
+    This cuts the 9 Ldet gathers from all E*K candidate slots to M + slack.
+    """
     b = flat_ldet.shape[0]
     n_evo = len(specs)
     t = slot_tables(cfg, specs, k)
-    slot_cls = t["slot_cls"]
     c_total = n_evo * k
 
     x_all = jnp.concatenate([c["x"] for c in cand], axis=1).astype(jnp.int32)
@@ -395,11 +494,19 @@ def stage_refine_select(cfg, specs, cand, flat_ldet, k, max_features):
         -jnp.inf,
     )
 
-    sw = jnp.asarray(t["width"])[slot_cls][None, :]
-    sh = jnp.asarray(t["height"])[slot_cls][None, :]
-    sb = jnp.asarray(t["base"])[slot_cls][None, :]
-    xs = jnp.clip(x_all, 1, sw - 2)
-    ys = jnp.clip(y_all, 1, sh - 2)
+    # Preselect by response (refinement is response-preserving).
+    m = min(max_features, c_total)
+    pre_m = min(m + slack, c_total)
+    resp1, idx1 = jax.lax.top_k(resp_ok, pre_m)  # (B, P)
+    cls1 = jnp.asarray(t["slot_cls"])[idx1]
+    x1 = jnp.take_along_axis(x_all, idx1, axis=1)
+    y1 = jnp.take_along_axis(y_all, idx1, axis=1)
+
+    sw = jnp.asarray(t["width"])[cls1]
+    sh = jnp.asarray(t["height"])[cls1]
+    sb = jnp.asarray(t["base"])[cls1]
+    xs = jnp.clip(x1, 1, sw - 2)
+    ys = jnp.clip(y1, 1, sh - 2)
     center = sb + ys * sw + xs
 
     def at(dx, dy):
@@ -415,16 +522,18 @@ def stage_refine_select(cfg, specs, cand, flat_ldet, k, max_features):
     dst0 = -d_x * (inv_det * d_yy) + -d_y * (inv_det * -d_xy)
     dst1 = -d_x * (inv_det * -d_xy) + -d_y * (inv_det * d_xx)
     refine_ok = (jnp.abs(dst0) <= 1.0) & (jnp.abs(dst1) <= 1.0)
-    resp_ok = jnp.where(refine_ok, resp_ok, -jnp.inf)
-    pw = jnp.asarray(t["power"])[slot_cls][None, :]
+    resp1 = jnp.where(refine_ok, resp1, -jnp.inf)
+    pw = jnp.asarray(t["power"])[cls1]
     px = (xs.astype(jnp.float32) + dst0) * pw + 0.5 * (pw - 1.0)
     py = (ys.astype(jnp.float32) + dst1) * pw + 0.5 * (pw - 1.0)
 
-    # Global top-M by response; compact every field to (B, M).
-    m = min(max_features, c_total)
-    top_resp, top_idx = jax.lax.top_k(resp_ok, m)  # (B, M)
+    # Final top-M among the refined preselection.
+    top_resp, top_idx = jax.lax.top_k(resp1, m)  # (B, M)
 
-    sel_cls = jnp.asarray(slot_cls)[top_idx]  # (B, M)
+    def take(a):
+        return jnp.take_along_axis(a, top_idx, axis=1)
+
+    sel_cls = take(cls1)
     sel = dict(
         resp=top_resp,
         cls=sel_cls,
@@ -435,8 +544,8 @@ def stage_refine_select(cfg, specs, cand, flat_ldet, k, max_features):
         size=jnp.asarray(t["size2x"])[sel_cls],
         ssamp=jnp.asarray(t["ssamp"])[sel_cls],
         oct=jnp.asarray(t["octave"])[sel_cls],
-        px=jnp.take_along_axis(px, top_idx, axis=1),
-        py=jnp.take_along_axis(py, top_idx, axis=1),
+        px=take(px),
+        py=take(py),
         valid=jnp.isfinite(top_resp),
     )
     return sel
@@ -510,7 +619,7 @@ class DeviceExtractor:
         max_features: int = 1024,
         sampler: str = "onehot",
         dedup_scan_cap: int = 1024,
-        block_reduce: bool = True,
+        topk_method: str = "compact",
         onehot_mode: str = "highest",
     ):
         self.config = config or Akaze()
@@ -522,9 +631,10 @@ class DeviceExtractor:
         # Max conflicted candidates resolved by the sequential scan; the
         # conflict prefilter usually leaves far fewer than the raw budget.
         self.dedup_scan_cap = dedup_scan_cap
-        # Exact 2x2 block-reduce before the candidate top_k (see
-        # stage_candidates; False = raw one-stage top_k).
-        self.block_reduce = block_reduce
+        # Candidate selection: 'compact' (exact pixel-order compaction,
+        # fastest), 'block'/'raw' (exact strongest-K top_k), 'approx'
+        # (experimental); see stage_candidates.
+        self.topk_method = topk_method
         # One-hot contraction strategy: 'highest' (f32 Precision.HIGHEST —
         # bit-exact AND faster than a manual bf16x3 split, measured 31 vs
         # 68 ms; the manual split also loses bit-exactness to split-term
@@ -543,7 +653,7 @@ class DeviceExtractor:
         specs = self._helper.specs(h, w)
         planes = build_scale_space(cfg, specs, images)
         k = self.candidate_budget
-        cand = stage_candidates(cfg, specs, planes, k, self.block_reduce)
+        cand = stage_candidates(cfg, specs, planes, k, self.topk_method)
         cand = stage_dedup(cand, k, self.dedup_scan_cap)
         flat_ldet = flat_ldet_buffer(planes)
         sel = stage_refine_select(cfg, specs, cand, flat_ldet, k, self.max_features)
