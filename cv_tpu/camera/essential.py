@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core import smallmat
 from ..core.lie import so3_hat
 from ..core.pose import CameraToCamera, Isometry3
 from ..ops.eigen import svd3
@@ -20,7 +21,7 @@ from ..ops.eigen import svd3
 
 def essential_from_pose(pose: Isometry3) -> jnp.ndarray:
     """E = [t]x R (essential.rs:260-264)."""
-    return so3_hat(pose.translation) @ pose.rotation
+    return smallmat.matmul(so3_hat(pose.translation), pose.rotation)
 
 
 def residual(e: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -30,7 +31,7 @@ def residual(e: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     ap = a / a[..., 2:3]
     bp = b / b[..., 2:3]
-    return jnp.abs(jnp.einsum("...i,...ij,...j->...", bp, e, ap))
+    return jnp.abs(jnp.sum(bp[..., :, None] * e * ap[..., None, :], axis=(-2, -1)))
 
 
 def recondition(e: jnp.ndarray) -> jnp.ndarray:
@@ -39,7 +40,7 @@ def recondition(e: jnp.ndarray) -> jnp.ndarray:
     u, s, vt = svd3(e)
     avg = 0.5 * (s[..., 0] + s[..., 1])
     s_new = jnp.stack([avg, avg, jnp.zeros_like(avg)], axis=-1)
-    return (u * s_new[..., None, :]) @ vt
+    return smallmat.matmul(u * s_new[..., None, :], vt)
 
 
 def possible_rotations_unscaled_translation(e: jnp.ndarray):
@@ -58,8 +59,8 @@ def possible_rotations_unscaled_translation(e: jnp.ndarray):
     u = u.at[..., :, 2].multiply(jnp.where(det_u < 0, -1.0, 1.0)[..., None])
     det_vt = jnp.linalg.det(vt)
     vt = vt.at[..., 2, :].multiply(jnp.where(det_vt < 0, -1.0, 1.0)[..., None])
-    rot_a = u @ w @ vt
-    rot_b = u @ w.T @ vt
+    rot_a = smallmat.matmul(smallmat.matmul(u, w), vt)
+    rot_b = smallmat.matmul(smallmat.matmul(u, w.T), vt)
     t = u[..., :, 2]
     return rot_a, rot_b, t
 

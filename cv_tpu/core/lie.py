@@ -19,6 +19,7 @@ Conventions (matching the reference):
 from __future__ import annotations
 
 import jax.numpy as jnp
+from .smallmat import matmul as _mm, matvec as _mv
 
 
 def so3_hat(w: jnp.ndarray) -> jnp.ndarray:
@@ -58,7 +59,7 @@ def so3_hat2(w: jnp.ndarray) -> jnp.ndarray:
 def so3_bracket(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Lie bracket [a, b] = vee(hat(a) hat(b) - hat(b) hat(a))."""
     ha, hb = so3_hat(a), so3_hat(b)
-    return so3_vee(ha @ hb - hb @ ha)
+    return so3_vee(_mm(ha, hb) - _mm(hb, ha))
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
@@ -143,7 +144,7 @@ def tangent_isometry(translation: jnp.ndarray, rotation: jnp.ndarray):
     Returns ``(R, t)`` where ``R = exp(rotation)`` and ``t = R @ translation``.
     """
     r = so3_exp(rotation)
-    t = jnp.einsum("...ij,...j->...i", r, translation)
+    t = _mv(r, translation)
     return r, t
 
 

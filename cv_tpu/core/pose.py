@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from ..utils.pytree import pytree_dataclass
 from . import projective
 from .lie import so3_exp, so3_hat, so3_log
+from .smallmat import matmul as _mm, matvec as _mv
 
 
 @pytree_dataclass
@@ -54,7 +55,7 @@ class Isometry3:
     def from_tangent(cls, translation: jnp.ndarray, rotation: jnp.ndarray):
         """``Se3TangentSpace.isometry`` convention: ``(R, R @ translation)``."""
         r = so3_exp(rotation)
-        return cls(rotation=r, translation=jnp.einsum("...ij,...j->...i", r, translation))
+        return cls(rotation=r, translation=_mv(r, translation))
 
     # -- basic ops -----------------------------------------------------------
     @property
@@ -68,15 +69,14 @@ class Isometry3:
     def inverse(self) -> "Isometry3":
         rt = jnp.swapaxes(self.rotation, -1, -2)
         return type(self)(
-            rotation=rt, translation=-jnp.einsum("...ij,...j->...i", rt, self.translation)
+            rotation=rt, translation=-_mv(rt, self.translation)
         )
 
     def compose(self, other: "Isometry3") -> "Isometry3":
         """self after other: (self @ other)(x) = self(other(x))."""
         return Isometry3(
-            rotation=self.rotation @ other.rotation,
-            translation=jnp.einsum("...ij,...j->...i", self.rotation, other.translation)
-            + self.translation,
+            rotation=_mm(self.rotation, other.rotation),
+            translation=_mv(self.rotation, other.translation) + self.translation,
         )
 
     def __matmul__(self, other: "Isometry3") -> "Isometry3":
@@ -111,11 +111,11 @@ class Isometry3:
     # -- point transforms ----------------------------------------------------
     def apply(self, p: jnp.ndarray) -> jnp.ndarray:
         """Transform euclidean 3-points ``(..., 3)``."""
-        return jnp.einsum("...ij,...j->...i", self.rotation, p) + self.translation
+        return _mv(self.rotation, p) + self.translation
 
     def rotate(self, v: jnp.ndarray) -> jnp.ndarray:
         """Rotate vectors/bearings (no translation)."""
-        return jnp.einsum("...ij,...j->...i", self.rotation, v)
+        return _mv(self.rotation, v)
 
     def transform(self, hp: jnp.ndarray) -> jnp.ndarray:
         """Transform projective points ``(..., 4)``, renormalized
@@ -125,7 +125,7 @@ class Isometry3:
 
     def transform_unnormalized(self, hp: jnp.ndarray) -> jnp.ndarray:
         xyz = (
-            jnp.einsum("...ij,...j->...i", self.rotation, hp[..., :3])
+            _mv(self.rotation, hp[..., :3])
             + self.translation * hp[..., 3:4]
         )
         w = jnp.broadcast_to(hp[..., 3:4], xyz.shape[:-1] + (1,))
@@ -142,7 +142,7 @@ class Isometry3:
         rotation-output as in ``pose_jacobian_self``.
         """
         h = self.homogeneous()
-        rotated_xyz = jnp.einsum("...ij,...j->...i", self.rotation, hp[..., :3])
+        rotated_xyz = _mv(self.rotation, hp[..., :3])
         output = self.transform_unnormalized(hp)
         jac_input = h
         w = hp[..., 3:4]
@@ -159,7 +159,7 @@ class Isometry3:
         hat_h = jnp.zeros(hat_rot.shape[:-2] + (4, 4), dtype=hp.dtype)
         hat_h = hat_h.at[..., :3, :3].set(hat_rot)
         hat_h = hat_h.at[..., 3, 3].set(1.0)
-        dp_ds = t_h @ hat_h
+        dp_ds = _mm(t_h, hat_h)
         # Reference packs [dp_dt rows 0..3; dp_ds rows 0..3] as a 6x4 then
         # transposes (pose.rs:157-173): final (..., i, j) = stacked(j, i).
         stacked = jnp.concatenate([dp_dt[..., :3, :], dp_ds[..., :3, :]], axis=-2)
@@ -215,9 +215,15 @@ def camera_to_camera_residual(pose: Isometry3, a: jnp.ndarray, b: jnp.ndarray):
     design = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], pose.batch_shape) + (4, 4), dtype)
     for p, bearing_vec in ((eye_pose, a), (pose, b)):
         pm = p.matrix3x4()  # (..., 3, 4)
-        bb = bearing_vec[..., :, None] * bearing_vec[..., None, :]  # (..., 3, 3)
-        term = pm - bb @ pm
-        design = design + jnp.swapaxes(term, -1, -2) @ term
+        # Tiny-matrix contractions written elementwise: a dot_general with a
+        # 4-wide trailing dim materializes in MXU-tiled layout (lane pad
+        # 4 -> 128, a 32x HBM blowup at RANSAC batch sizes) and rounds to
+        # bf16 at default precision.  b (b^T pm) == (b b^T) pm exactly.
+        s = jnp.sum(bearing_vec[..., :, None] * pm, axis=-2)  # (..., 4)
+        term = pm - bearing_vec[..., :, None] * s[..., None, :]  # (..., 3, 4)
+        for k in range(3):
+            tk = term[..., k, :]
+            design = design + tk[..., :, None] * tk[..., None, :]
     from ..ops.eigen import eigh4
 
     # Batched Jacobi: jnp.linalg.eigh's general decomposition allocates

@@ -54,9 +54,16 @@ def eigh_small(a: jnp.ndarray, sweeps: int = 6):
         v = v.at[..., :, q].set(s * vp + c * vq)
         return a, v
 
-    for _ in range(sweeps):
+    def sweep(_, av):
+        a, v = av
         for p, q in pairs:
             a, v = rotate(a, v, p, q)
+        return a, v
+
+    # fori_loop over sweeps keeps the compiled program one sweep long —
+    # the fully-unrolled form made large consensus programs (P3P sampling +
+    # solver + scoring) exceed the TPU compiler's limits.
+    a, v = jax.lax.fori_loop(0, sweeps, sweep, (a, v))
 
     w = jnp.stack([a[..., i, i] for i in range(n)], axis=-1)
     order = jnp.argsort(w, axis=-1)
@@ -79,13 +86,13 @@ def svd3(e: jnp.ndarray, sweeps: int = 8):
     completed by a cross product when that value is (near) zero — exactly
     the rank-2 essential-matrix case this exists for.
     """
-    b = jnp.swapaxes(e, -1, -2) @ e
+    b = jnp.sum(e[..., :, :, None] * e[..., :, None, :], axis=-3)
     w, v = eigh_small(b, sweeps=sweeps)  # ascending
     # Descending order.
     w = w[..., ::-1]
     v = v[..., :, ::-1]
     s = jnp.sqrt(jnp.maximum(w, 0.0))
-    ev = e @ v  # columns: s_i * u_i
+    ev = jnp.sum(e[..., :, :, None] * v[..., None, :, :], axis=-2)  # columns: s_i * u_i
     s0 = s[..., 0:1]
     tol = jnp.finfo(e.dtype).eps ** 0.5 * jnp.maximum(s0, 1e-30)
     safe = jnp.where(s <= tol, 1.0, s)

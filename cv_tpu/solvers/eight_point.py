@@ -9,6 +9,7 @@ problems in one ``vmap``-free vectorized call.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from ..core import smallmat
 
 from ..camera import essential
 from ..core.pose import CameraToCamera
@@ -37,7 +38,7 @@ def essential_from_matches(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     ``(..., 3, 3)``.
     """
     rows = encode_epipolar_equation(a, b)  # (..., K, 9)
-    eet = jnp.einsum("...ki,...kj->...ij", rows, rows)
+    eet = smallmat.matmul_tn(rows, rows)
     from ..ops.eigen import eigh_small
 
     _, vecs = eigh_small(eet, sweeps=8)  # ascending eigenvalues

@@ -11,7 +11,9 @@ Returns up to 4 ``WorldToCamera`` poses per problem with a validity mask.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from ..core import smallmat
 
 from ..core import projective
 from ..core.pose import WorldToCamera
@@ -39,16 +41,20 @@ def _cube_root(b, c, d):
     r_mono = jnp.where(flat, r_mono + 1.0, r_mono)
     r0 = jnp.where(has_stationary, r_stat, r_mono)
 
-    # 7 unconditional Newton steps, then up to 43 guarded ones (":491-505").
-    for _ in range(7):
+    # 7 unconditional Newton steps, then up to 43 guarded ones (":491-505");
+    # fori_loops keep the compiled program two bodies long.
+    def newton(_, r0):
         fx = ((r0 + b) * r0 + c) * r0 + d
         fpx = (3.0 * r0 + 2.0 * b) * r0 + c
-        r0 = r0 - fx / fpx
-    for _ in range(43):
+        return r0 - fx / fpx
+
+    def newton_guarded(_, r0):
         fx = ((r0 + b) * r0 + c) * r0 + d
         fpx = (3.0 * r0 + 2.0 * b) * r0 + c
-        step = jnp.where(jnp.abs(fx) > 1e-13, fx / fpx, 0.0)
-        r0 = r0 - step
+        return r0 - jnp.where(jnp.abs(fx) > 1e-13, fx / fpx, 0.0)
+
+    r0 = jax.lax.fori_loop(0, 7, newton, r0)
+    r0 = jax.lax.fori_loop(0, 43, newton_guarded, r0)
     return r0
 
 
@@ -164,12 +170,12 @@ def _closest_rotation(m):
     from ..ops.eigen import svd3
 
     u, _, vt = svd3(m)
-    det = jnp.linalg.det(u @ vt)
+    det = jnp.linalg.det(smallmat.matmul(u, vt))
     fix = jnp.concatenate(
         [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]],
         axis=-1,
     )
-    return (u * fix[..., None, :]) @ vt
+    return smallmat.matmul(u * fix[..., None, :], vt)
 
 
 def estimate(bearings: jnp.ndarray, world_points: jnp.ndarray):
@@ -293,9 +299,9 @@ def estimate(bearings: jnp.ndarray, world_points: jnp.ndarray):
     yd2 = ry1 - ry3
     yd1xd2 = jnp.cross(yd1, yd2)
     y_mat = jnp.stack([yd1, yd2, yd1xd2], axis=-1)  # (..., 4, 3, 3)
-    rot = y_mat @ x_inv[..., None, :, :]
+    rot = smallmat.matmul(y_mat, x_inv[..., None, :, :])
     rot = _closest_rotation(rot)
-    trans = ry1 - jnp.einsum("...ij,...j->...i", rot, x1[..., None, :])
+    trans = ry1 - smallmat.matvec(rot, x1[..., None, :])
 
     valid = lam_ok & x_ok[..., None] & sample_ok[..., None]
     valid &= jnp.all(jnp.isfinite(rot), axis=(-1, -2)) & jnp.all(

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..core import smallmat
 
 from ..camera import essential as essential_mod
 from ..core.pose import CameraToCamera
@@ -88,7 +89,7 @@ def nullspace_basis(a: jnp.ndarray, b: jnp.ndarray):
     requires nullity exactly 4.
     """
     rows = (a[..., :, None] * b[..., None, :]).reshape(a.shape[:-1] + (9,))
-    ee = jnp.einsum("...ki,...kj->...ij", rows, rows)
+    ee = smallmat.matmul_tn(rows, rows)
     from ..ops.eigen import eigh_small
 
     vals, vecs = eigh_small(ee, sweeps=8)  # ascending
@@ -191,7 +192,7 @@ def real_eigen_10(at: jnp.ndarray):
         ck = -jnp.trace(mk, axis1=-2, axis2=-1) / k
         coeffs.append(ck)
         if k < n:
-            mk = at @ (mk + ck[..., None, None] * eye)
+            mk = smallmat.matmul(at, mk + ck[..., None, None] * eye)
     poly = jnp.stack(coeffs, axis=-1)  # (..., 11), poly[0] = 1
 
     ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -238,9 +239,9 @@ def real_eigen_10(at: jnp.ndarray):
         v_new = jnp.linalg.solve(m_shift, v[..., :, None])[..., 0]
         v_new = v_new / jnp.linalg.norm(v_new, axis=-1, keepdims=True)
         v = jnp.where(jnp.all(jnp.isfinite(v_new), axis=-1)[..., None], v_new, v)
-        av = jnp.einsum("...ij,...kj->...ki", at, v)
+        av = jnp.swapaxes(smallmat.matmul(at, jnp.swapaxes(v, -1, -2)), -1, -2)
         lam = jnp.sum(v * av, axis=-1)  # Rayleigh quotient update
-    av = jnp.einsum("...ij,...kj->...ki", at, v)
+    av = jnp.swapaxes(smallmat.matmul(at, jnp.swapaxes(v, -1, -2)), -1, -2)
     resid = jnp.linalg.norm(av - lam[..., None] * v, axis=-1)
     # The eigen-residual test alone decides: a candidate seeded from a
     # complex pair either re-converges onto a genuine real eigenvalue
@@ -270,7 +271,9 @@ def essentials_from_matches(a: jnp.ndarray, b: jnp.ndarray):
     # and never recovers a valid essential matrix with that window. Verified
     # empirically: v[6:10] reproduces E_true to 1e-13, v[5:9] does not.
     v4 = vecs[..., 6:10]  # (..., 10, 4)
-    e_flat = jnp.einsum("...ij,...kj->...ki", basis, v4)  # (..., 10, 9)
+    e_flat = jnp.sum(
+        basis[..., None, :, :] * v4[..., :, None, :], axis=-1
+    )  # (..., 10, 9): basis (..., 9, 4) x v4 (..., 10, 4)
     # Matrix3::from_iterator is column-major: E[r, c] = flat[3c + r].
     e = jnp.swapaxes(e_flat.reshape(e_flat.shape[:-1] + (3, 3)), -1, -2)
     valid = ok0[..., None] & ok1[..., None] & ok2

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from ..core import projective
 from ..core.pose import Isometry3
+from ..core import smallmat
 
 
 def triangulate_observations(
@@ -29,11 +30,15 @@ def triangulate_observations(
     finite and cheirality checks (triangulation.rs:108-129).
     """
     pm = poses.matrix3x4()  # (..., V, 3, 4)
-    bb = bearings[..., :, None] * bearings[..., None, :]  # (..., V, 3, 3)
-    term = pm - bb @ pm  # (..., V, 3, 4)
+    # Elementwise small-matrix forms (full f32, native layout; see
+    # core/smallmat.py): b (b^T pm) == (b b^T) pm exactly for unit b.
+    s = jnp.sum(bearings[..., :, None] * pm, axis=-2)  # (..., V, 4)
+    term = pm - bearings[..., :, None] * s[..., None, :]  # (..., V, 3, 4)
     if valid is not None:
         term = jnp.where(valid[..., None, None], term, 0.0)
-    design = jnp.einsum("...vki,...vkj->...ij", term, term)
+    design = jnp.sum(
+        term[..., :, :, None] * term[..., :, None, :], axis=(-4, -3)
+    )
     from ..ops.eigen import eigh4
 
     _, vecs = eigh4(design)
@@ -42,7 +47,7 @@ def triangulate_observations(
     # Cheirality (triangulation.rs:121-128): rotate each bearing to world
     # (inverse pose rotation) and require non-negative dot with the point's
     # world bearing.
-    world_bearing = jnp.einsum("...vji,...vj->...vi", poses.rotation, bearings)
+    world_bearing = smallmat.matvec_t(poses.rotation, bearings)
     cheir = jnp.sum(world_bearing * point[..., None, :3], axis=-1) >= 0.0
     if valid is not None:
         cheir = cheir | ~valid
