@@ -91,12 +91,43 @@ def stage_candidates(cfg, specs, planes, k, topk_method: str = "compact"):
         else:
             groups.append([shape, [i]])
 
+    def border_ok_1d(n, s):
+        """Reference border predicate along one axis, f32-exact
+        (scale_space_extrema.rs:96-104): round half-away-from-zero."""
+        v = np.arange(n, dtype=np.float32)
+
+        def rnd(x):
+            return np.sign(x) * np.floor(np.abs(x) + np.float32(0.5))
+
+        lo = rnd(v - np.float32(s)) - np.float32(1.0) >= 0.0
+        hi = rnd(v + np.float32(s)) + np.float32(1.0) < np.float32(n)
+        return lo & hi
+
     resp_list = [None] * len(planes)
     idx_list = [None] * len(planes)
-    for _, idxs_g in groups:
+    for (h_g, w_g), idxs_g in groups:
         stacked = jnp.stack([planes[i].ldet for i in idxs_g], axis=1)
         s_count = len(idxs_g)
         mask = extrema.candidate_mask(stacked, cfg.detector_threshold)
+        # Border rejection folded into the mask: the reference rejects
+        # border keypoints BEFORE they enter the dedup cache
+        # (scale_space_extrema.rs:96-117), so they can neither survive nor
+        # suppress others — pre-masking is exact, and keeps the pixel-order
+        # candidate budget from filling with doomed border candidates.
+        border = np.empty((s_count, h_g, w_g), bool)
+        for j, i in enumerate(idxs_g):
+            s = planes[i].spec
+            smax_ss = float(extrema.SMAX) * float(
+                np.round(
+                    np.float32(np.float32(s.esigma) * cfg.derivative_factor)
+                    / np.float32(2.0**s.octave)
+                )
+            )
+            border[j] = (
+                border_ok_1d(h_g, smax_ss)[:, None]
+                & border_ok_1d(w_g, smax_ss)[None, :]
+            )
+        mask &= jnp.asarray(border)[None]
         masked = jnp.where(mask, stacked, -jnp.inf)
         flat = masked.reshape((b * s_count,) + masked.shape[-2:])
         if topk_method == "compact":
@@ -472,16 +503,18 @@ def slot_tables(cfg, specs, k):
 # ---------------------------------------------------------------------------
 
 
-def stage_refine_select(cfg, specs, cand, flat_ldet, k, max_features, slack=128):
+def stage_refine_select(cfg, specs, cand, planes, k, max_features, slack=128):
     """Preselect the top (M + slack) candidates by response, subpixel-refine
     only those, then compact the final top-M to (B, M) selection arrays.
 
     Refinement never changes a response — it only *drops* keypoints with
     |delta| > 1 — so refining the top (M + slack) is exact unless more than
     ``slack`` of them fail refinement (goldens + exact-path tests gate it).
-    This cuts the 9 Ldet gathers from all E*K candidate slots to M + slack.
+    This cuts the 9 Ldet samples from all E*K candidate slots to M + slack,
+    gathered per octave group straight from the stacked Ldet planes (the
+    stacks CSE with stage_candidates' — no flat concat buffer at all).
     """
-    b = flat_ldet.shape[0]
+    b = planes[0].ldet.shape[0]
     n_evo = len(specs)
     t = slot_tables(cfg, specs, k)
     c_total = n_evo * k
@@ -504,13 +537,36 @@ def stage_refine_select(cfg, specs, cand, flat_ldet, k, max_features, slack=128)
 
     sw = jnp.asarray(t["width"])[cls1]
     sh = jnp.asarray(t["height"])[cls1]
-    sb = jnp.asarray(t["base"])[cls1]
     xs = jnp.clip(x1, 1, sw - 2)
     ys = jnp.clip(y1, 1, sh - 2)
-    center = sb + ys * sw + xs
+
+    # Octave-group gathers: for each group, one take per stencil offset over
+    # the group's stacked (B, S*H*W) Ldet, merged by group membership.
+    groups = []
+    for i, p in enumerate(planes):
+        shape = p.ldet.shape[-2:]
+        if groups and groups[-1][0] == shape:
+            groups[-1][1].append(i)
+        else:
+            groups.append([shape, [i]])
+
+    offsets = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    samples = {o: jnp.zeros_like(resp1) for o in offsets}
+    for (h_g, w_g), idxs_g in groups:
+        stacked = jnp.stack([planes[i].ldet for i in idxs_g], axis=1)
+        flat_g = stacked.reshape(b, -1)
+        first = idxs_g[0]
+        in_g = (cls1 >= first) & (cls1 < first + len(idxs_g))
+        lvl_loc = jnp.clip(cls1 - first, 0, len(idxs_g) - 1)
+        xs_g = jnp.clip(x1, 1, w_g - 2)
+        ys_g = jnp.clip(y1, 1, h_g - 2)
+        center_g = (lvl_loc * h_g + ys_g) * w_g + xs_g
+        for dx, dy in offsets:
+            val = jnp.take_along_axis(flat_g, center_g + dy * w_g + dx, axis=1)
+            samples[(dx, dy)] = jnp.where(in_g, val, samples[(dx, dy)])
 
     def at(dx, dy):
-        return jnp.take_along_axis(flat_ldet, center + dy * sw + dx, axis=1)
+        return samples[(dx, dy)]
 
     v = at(0, 0)
     d_x = 0.5 * (at(1, 0) - at(-1, 0))
@@ -605,6 +661,48 @@ def stage_describe(cfg, planes, sel, sampler: str, onehot_mode: str = "highest")
     )
 
 
+class FastAkazeExtractor:
+    """Engine-facing adapter over :class:`DeviceExtractor`.
+
+    Implements the same ``extract(image) -> (keypoints_dict, words)``
+    contract as :class:`cv_tpu.akaze.extract.AkazeExtractor` (the contract
+    ``VSlam.kps_descriptors`` consumes, lib.rs:2195-2236), but runs the
+    fully-device batched pipeline: the fixed-budget :class:`FeatureSet` is
+    mask-compacted to host arrays, already sorted by response descending
+    (the device pipeline's top-k order).  Inject into the engine via
+    ``VSlam(extractor_cls=FastAkazeExtractor)``.
+    """
+
+    def __init__(
+        self,
+        config: Akaze | None = None,
+        candidate_budget: int = 512,
+        max_features: int | None = None,
+    ):
+        self.config = config or Akaze()
+        m = max_features or min(self.config.maximum_features, 2048)
+        self._dev = DeviceExtractor(
+            self.config, candidate_budget=candidate_budget, max_features=m
+        )
+
+    def extract(self, image: np.ndarray):
+        from .extract import to_gray_f32
+
+        img = to_gray_f32(image)
+        fs = self._dev.extract(jnp.asarray(img)[None])
+        valid = np.asarray(fs.valid[0])
+        kp = {
+            "point": np.asarray(fs.point[0])[valid],
+            "response": np.asarray(fs.response[0])[valid],
+            "size": np.asarray(fs.size[0])[valid],
+            "angle": np.asarray(fs.angle[0])[valid],
+            "octave": np.asarray(fs.octave[0])[valid],
+            "class_id": np.asarray(fs.class_id[0])[valid],
+        }
+        words = np.asarray(fs.words[0])[valid]
+        return kp, words
+
+
 class DeviceExtractor:
     """Jit-compiled batched extractor for a fixed image shape.
 
@@ -655,6 +753,5 @@ class DeviceExtractor:
         k = self.candidate_budget
         cand = stage_candidates(cfg, specs, planes, k, self.topk_method)
         cand = stage_dedup(cand, k, self.dedup_scan_cap)
-        flat_ldet = flat_ldet_buffer(planes)
-        sel = stage_refine_select(cfg, specs, cand, flat_ldet, k, self.max_features)
+        sel = stage_refine_select(cfg, specs, cand, planes, k, self.max_features)
         return stage_describe(cfg, planes, sel, self.sampler, self.onehot_mode)

@@ -65,7 +65,30 @@ def main(argv=None):
         settings = VSlamSettings.from_json(opt.settings.read_text())
         logging.info("loaded existing settings")
 
-    vslam = VSlam(data=data, settings=settings, seed=0)
+    # Reference consensus budgets (vslam-sandbox/src/main.rs:105-117):
+    # Arrsac initialization_hypotheses 16384 (single-view) / 8192 (two-view)
+    # with 1024 candidate hypotheses; the batched analog runs the full
+    # hypothesis budget up front plus inlier-refit rounds standing in for
+    # ARRSAC's block-based refinement. Hypotheses are cheap on TPU.
+    from ..consensus import BatchConsensus
+
+    vslam = VSlam(
+        data=data,
+        settings=settings,
+        seed=0,
+        single_view_consensus=BatchConsensus(
+            threshold=settings.single_view_consensus_threshold,
+            hypotheses=16384,
+            refit_rounds=2,
+            refit_hypotheses=1024,
+        ),
+        two_view_consensus=BatchConsensus(
+            threshold=settings.two_view_consensus_threshold,
+            hypotheses=8192,
+            refit_rounds=2,
+            refit_hypotheses=1024,
+        ),
+    )
     feed = vslam.add_feed(intrinsics)
 
     normalized = set()

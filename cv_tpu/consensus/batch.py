@@ -47,12 +47,55 @@ class BatchConsensus:
     ``threshold``: inlier residual threshold (reference thresholds: 0.1 for
     the akaze test, settings.rs consensus thresholds 1e-5/1e-7).
     ``hypotheses``: number of minimal sets drawn per call.
+    ``refit_rounds``/``refit_hypotheses``: optional inlier-refit stages (the
+    batched analog of ARRSAC's block-based refinement): each round draws
+    ``refit_hypotheses`` minimal sets from the best model's inlier set,
+    re-estimates, and keeps the overall argmax.  Inlier-only samples are far
+    more likely to be all-inlier, so refit recovers inliers the initial
+    random sets missed.
     """
 
     threshold: float
     hypotheses: int = 1024
+    refit_rounds: int = 0
+    refit_hypotheses: int = 256
+
+    @partial(jax.jit, static_argnames=("self", "estimator", "n_hyp"))
+    def _estimate_stage(self, key, estimator, data, sample_mask, n_hyp):
+        """Sample ``n_hyp`` minimal sets (masked Gumbel top-k, static shapes
+        for any n_valid) and solve them: returns the candidate-model pytree
+        with batch shape (n_hyp, models_per_sample)."""
+        leaves = jax.tree_util.tree_leaves(data)
+        n = leaves[0].shape[0]
+        m = estimator.min_samples
+
+        def sample_one(kk):
+            g = jax.random.gumbel(kk, (n,))
+            g = jnp.where(sample_mask, g, -jnp.inf)
+            _, idx = jax.lax.top_k(g, m)
+            return idx
+
+        keys = jax.random.split(key, n_hyp)
+        idx = jax.vmap(sample_one)(keys)  # (H, m)
+        sampled = jax.tree_util.tree_map(lambda x: x[idx], data)
+        return estimator.estimate(sampled)
 
     @partial(jax.jit, static_argnames=("self", "estimator"))
+    def _score_stage(self, estimator, models, data, valid_row):
+        """Score every candidate model against every data row and argmax
+        inlier counts: returns (best model, inlier mask, inlier count)."""
+        leaves = jax.tree_util.tree_leaves(data)
+        n = leaves[0].shape[0]
+        res = estimator.residual(models, data)  # (H, M, N)
+        inliers = (res < self.threshold) & valid_row & jnp.isfinite(res)
+        counts = jnp.sum(inliers, axis=-1)  # (H, M)
+        flat_counts = counts.reshape(-1)
+        best = jnp.argmax(flat_counts)
+        best_model = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[best], models
+        )
+        return best_model, inliers.reshape((-1, n))[best], flat_counts[best]
+
     def model_inliers(self, key, estimator: Estimator, data, n_valid=None):
         """Find the best model and its inlier mask.
 
@@ -63,33 +106,41 @@ class BatchConsensus:
         Returns ``(model, inlier_mask (N,), inlier_count)``. The model is a
         single pytree element (best hypothesis). If no hypothesis yields
         any inliers the count is 0 and the model is whatever scored best.
+
+        Estimate and scoring run as two separate XLA programs on purpose:
+        fusing a heavy solver (Lambda-Twist) with its residual scoring in
+        one program SIGABRTs the TPU compiler, and the split also lets the
+        two programs cache independently across estimators.
         """
         leaves = jax.tree_util.tree_leaves(data)
         n = leaves[0].shape[0]
         m = estimator.min_samples
         if n_valid is None:
             n_valid = jnp.int32(n)
-
-        def sample_one(k):
-            # Sample a minimal set without replacement from the valid prefix
-            # via masked Gumbel top-k (static shapes, any n_valid).
-            g = jax.random.gumbel(k, (n,))
-            g = jnp.where(jnp.arange(n) < n_valid, g, -jnp.inf)
-            _, idx = jax.lax.top_k(g, m)
-            return idx
-
-        keys = jax.random.split(key, self.hypotheses)
-        idx = jax.vmap(sample_one)(keys)  # (H, m)
-        sampled = jax.tree_util.tree_map(lambda x: x[idx], data)
-        models = estimator.estimate(sampled)  # batch (H, M)
-        res = estimator.residual(models, data)  # (H, M, N)
         valid_row = jnp.arange(n) < n_valid
-        inliers = (res < self.threshold) & valid_row & jnp.isfinite(res)
-        counts = jnp.sum(inliers, axis=-1)  # (H, M)
-        flat_counts = counts.reshape(-1)
-        best = jnp.argmax(flat_counts)
-        best_model = jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:])[best], models
-        )
-        best_mask = inliers.reshape((-1, n))[best]
-        return best_model, best_mask, flat_counts[best]
+
+        def run_round(k, n_hyp, sample_mask):
+            models = self._estimate_stage(k, estimator, data, sample_mask, n_hyp)
+            return self._score_stage(estimator, models, data, valid_row)
+
+        # The first round consumes ``key`` itself so refit_rounds=0 draws
+        # exactly the same minimal sets as the plain single-round version.
+        best_model, best_mask, best_count = run_round(key, self.hypotheses, valid_row)
+
+        for r in range(self.refit_rounds):
+            sub = jax.random.fold_in(key, r + 1)
+            # Sample from the current inlier set when it can fill a minimal
+            # set; otherwise fall back to all valid rows (no-op round).
+            enough = best_count >= m
+            sample_mask = jnp.where(enough, best_mask & valid_row, valid_row)
+            model_r, mask_r, count_r = run_round(
+                sub, self.refit_hypotheses, sample_mask
+            )
+            take = count_r > best_count
+            best_model = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(take, new, old), model_r, best_model
+            )
+            best_mask = jnp.where(take, mask_r, best_mask)
+            best_count = jnp.where(take, count_r, best_count)
+
+        return best_model, best_mask, best_count

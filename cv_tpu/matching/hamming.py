@@ -94,15 +94,29 @@ def _best2_margin(dist: jnp.ndarray, better_by: int):
 
 
 def symmetric_matches(
-    a_words: jnp.ndarray, b_words: jnp.ndarray, better_by: int = 24
+    a_words: jnp.ndarray,
+    b_words: jnp.ndarray,
+    better_by: int = 24,
+    n_valid_a=None,
+    n_valid_b=None,
 ):
     """Mutual-best matching with distance margin (cv-sfm/src/lib.rs:3116-3133).
 
     Returns ``(b_index (N,), keep (N,) bool)`` where ``keep[i]`` means feature
     ``i`` of ``a`` and ``b_index[i]`` of ``b`` are each other's best match and
     both margins hold.
+
+    ``n_valid_a``/``n_valid_b``: optional traced counts when the word arrays
+    are bucket-padded (padding rows can never match: their distances are set
+    to a sentinel far above the 486-bit maximum).  Padding to power-of-two
+    buckets keeps one compiled program per bucket pair instead of one per
+    exact frame size.
     """
     dist = distance_matrix(a_words, b_words)
+    if n_valid_a is not None:
+        va = jnp.arange(a_words.shape[0]) < n_valid_a
+        vb = jnp.arange(b_words.shape[0]) < n_valid_b
+        dist = jnp.where(va[:, None] & vb[None, :], dist, 10_000)
     fwd_idx, fwd_ok = _best2_margin(dist, better_by)
     rev_idx, rev_ok = _best2_margin(dist.T, better_by)
     mutual = rev_idx[fwd_idx] == jnp.arange(a_words.shape[0])

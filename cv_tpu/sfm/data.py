@@ -249,12 +249,23 @@ class VSlamData:
         return False
 
     def merge_landmarks(self, reconstruction: int, landmark_a: int, landmark_b: int) -> int:
-        """Merge b into a unconditionally (lib.rs:699-721)."""
+        """Merge b into a unconditionally (lib.rs:699-721).
+
+        Requires the landmarks to share no view — callers with possible
+        duplicates must use ``VSlam.merge_landmarks_dedup`` (lib.rs:2818),
+        which resolves shared views by splitting off the worse observation
+        first (the reference's HashMap insert would silently corrupt the
+        view backlink on a duplicate; we raise instead).
+        """
         rec = self.reconstructions[reconstruction]
         old = rec.landmarks.pop(landmark_b)
         for view, feature in old.observations.items():
             rec.views[view].landmarks[feature] = landmark_a
-            assert view not in rec.landmarks[landmark_a].observations
+            if view in rec.landmarks[landmark_a].observations:
+                raise ValueError(
+                    "merge_landmarks on landmarks sharing a view; use "
+                    "VSlam.merge_landmarks_dedup"
+                )
             rec.landmarks[landmark_a].observations[view] = feature
         return landmark_a
 
@@ -324,10 +335,18 @@ class VSlamData:
         ]
         similar_frames = []
         if num_similar_frames > 0 and len(self.sketch_frames) > 1:
-            sketches = jnp.asarray(np.stack(self.frame_sketches))
+            # Bucket-pad the sketch table so the distance program compiles
+            # once per power-of-two frame-count bucket, not once per frame.
+            stack = np.stack(self.frame_sketches)
+            nf = stack.shape[0]
+            nb = 64
+            while nb < nf:
+                nb *= 2
+            padded = np.zeros((nb, stack.shape[1]), stack.dtype)
+            padded[:nf] = stack
             d = np.asarray(
-                sketch_distances(jnp.asarray(self.frames[frame].sketch), sketches)
-            )
+                sketch_distances(jnp.asarray(self.frames[frame].sketch), jnp.asarray(padded))
+            )[:nf]
             order = np.argsort(d, kind="stable")[:similar_frames_search_num]
             for ix in order:
                 found = self.sketch_frames[ix]

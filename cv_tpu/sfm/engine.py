@@ -30,6 +30,7 @@ from ..akaze import Akaze, AkazeExtractor
 from ..camera import CameraIntrinsicsK1Distortion
 from ..consensus import BatchConsensus, Estimator
 from ..core import Isometry3, camera_to_camera_residual, world_to_camera_residual
+from ..core import smallmat
 from ..matching.hamming import distance_matrix
 from ..optimize import (
     single_view_simple_optimize_l2,
@@ -92,11 +93,11 @@ def graph_ba_device(rot, trans, edge_to, edge_from, edge_rot, edge_t, edge_valid
         r_to = rot[edge_to]
         t_to = trans[edge_to]
         # world_to_other . view_to_world: R = Rf Rt^T, t = tf - Rf Rt^T tt
-        r_rel = r_from @ jnp.swapaxes(r_to, -1, -2)
-        t_rel = t_from - jnp.einsum("...ij,...j->...i", r_rel, t_to)
+        r_rel = smallmat.matmul(r_from, jnp.swapaxes(r_to, -1, -2))
+        t_rel = t_from - smallmat.matvec(r_rel, t_to)
         # expected . rel
-        r_d = edge_rot @ r_rel
-        t_d = jnp.einsum("...ij,...j->...i", edge_rot, t_rel) + edge_t
+        r_d = smallmat.matmul(edge_rot, r_rel)
+        t_d = smallmat.matvec(edge_rot, t_rel) + edge_t
         se3_log = jnp.concatenate([t_d, so3_log(r_d)], axis=-1)  # (E, 6)
         ok_edge = edge_valid & ~removed[edge_from] & ~removed[edge_to]
         se3_log = jnp.where(ok_edge[:, None], se3_log, 0.0)
@@ -105,8 +106,8 @@ def graph_ba_device(rot, trans, edge_to, edge_from, edge_rot, edge_t, edge_valid
         # Apply: new pose = from_se3(net) . pose
         dr = so3_exp(net[:, 3:6])
         dt = net[:, 0:3]
-        new_rot = dr @ rot
-        new_trans = jnp.einsum("...ij,...j->...i", dr, trans) + dt
+        new_rot = smallmat.matmul(dr, rot)
+        new_trans = smallmat.matvec(dr, trans) + dt
         rot = jnp.where(finite[:, None, None], new_rot, rot)
         trans = jnp.where(finite[:, None], new_trans, trans)
         removed = removed | (~finite)
@@ -130,26 +131,41 @@ class VSlam:
         single_view_hypotheses: int = 1024,
         two_view_hypotheses: int = 2048,
         extractor_cls=AkazeExtractor,
+        pose_estimator: Estimator | None = None,
+        essential_estimator: Estimator | None = None,
+        triangulator=None,
+        single_view_consensus: BatchConsensus | None = None,
+        two_view_consensus: BatchConsensus | None = None,
     ):
+        """Generic over the same roles as ``VSlam<C1, C2, PE, EE, T, R>``
+        (lib.rs:724-774): ``single_view_consensus``/``two_view_consensus``
+        (C1/C2), ``pose_estimator`` (PE, a PnP :class:`Estimator` over
+        (bearing, world-point) data; default Lambda-Twist P3P),
+        ``essential_estimator`` (EE, a relative-pose :class:`Estimator` over
+        bearing pairs; default eight-point — inject a Nister-Stewenius
+        five-point estimator here), and ``triangulator`` (T, a callable
+        ``(pose_list, bearing_list) -> homogeneous point | None``; default
+        Linear-Eigen).  The seeded RNG plays R."""
         self.data = data or VSlamData()
         self.settings = settings or VSlamSettings()
         self.rng = np.random.default_rng(seed)
         self._key = jax.random.key(seed)
-        self.single_view_consensus = BatchConsensus(
+        self.single_view_consensus = single_view_consensus or BatchConsensus(
             threshold=self.settings.single_view_consensus_threshold,
             hypotheses=single_view_hypotheses,
         )
-        self.two_view_consensus = BatchConsensus(
+        self.two_view_consensus = two_view_consensus or BatchConsensus(
             threshold=self.settings.two_view_consensus_threshold,
             hypotheses=two_view_hypotheses,
         )
+        self.triangulator = triangulator or host_geom.triangulate_observations
         self._extractor = extractor_cls(
             Akaze(
                 detector_threshold=self.settings.akaze_threshold,
                 maximum_features=self.settings.tracking_features,
             )
         )
-        self._eight_point_estimator = Estimator(
+        self.essential_estimator = essential_estimator or Estimator(
             min_samples=8,
             models_per_sample=4,
             estimate=lambda s: eight_point.estimate(s[0], s[1]),
@@ -165,14 +181,17 @@ class VSlam:
 
         def _p3p_estimate(s):
             poses, valid = lambda_twist.estimate(s[0], s[1])
-            # Poison invalid candidate poses so their residuals are infinite.
+            # Zero-poisoning, not NaN: a jnp.where with a NaN constant after
+            # the P3P solver SIGABRTs the axon TPU compiler.  A zero pose
+            # maps every point to the zero vector, whose bearing is NaN at
+            # runtime, so consensus scoring's isfinite() still rejects it.
             bad = ~valid
             return Isometry3(
-                rotation=jnp.where(bad[..., None, None], jnp.nan, poses.rotation),
-                translation=jnp.where(bad[..., None], jnp.nan, poses.translation),
+                rotation=jnp.where(bad[..., None, None], 0.0, poses.rotation),
+                translation=jnp.where(bad[..., None], 0.0, poses.translation),
             )
 
-        self._p3p_estimator = Estimator(
+        self.pose_estimator = pose_estimator or Estimator(
             min_samples=3,
             models_per_sample=4,
             estimate=_p3p_estimate,
@@ -306,20 +325,46 @@ class VSlam:
             return []
         from ..matching import symmetric_matches
 
-        idx, keep = symmetric_matches(
-            jnp.asarray(a.descriptors),
-            jnp.asarray(b.descriptors),
+        # Bucket-pad to powers of two: one compiled matcher per bucket pair
+        # instead of one per exact (variable) frame size.
+        na, nb = len(a), len(b)
+        wa = np.zeros((_bucket(na), a.descriptors.shape[1]), a.descriptors.dtype)
+        wb = np.zeros((_bucket(nb), b.descriptors.shape[1]), b.descriptors.dtype)
+        wa[:na] = a.descriptors
+        wb[:nb] = b.descriptors
+        idx, keep = self._jit_symmetric_matches(
+            jnp.asarray(wa),
+            jnp.asarray(wb),
             better_by=self.settings.two_view_match_better_by,
+            n_valid_a=jnp.int32(na),
+            n_valid_b=jnp.int32(nb),
         )
-        keep = np.asarray(keep)
+        keep = np.asarray(keep)[:na]
         idx = np.asarray(idx)
         ai = np.nonzero(keep)[0]
         return [[int(i), int(idx[i])] for i in ai]
 
+    @staticmethod
+    @partial(jax.jit, static_argnames=("k",))
+    def _jit_knn(queries, words, n_valid, k):
+        """k-NN distances over bucket-padded descriptor arrays."""
+        d = distance_matrix(queries, words)
+        d = jnp.where(jnp.arange(words.shape[0])[None, :] < n_valid, d, 10_000)
+        return jax.lax.top_k(-d, k)
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("better_by",))
+    def _jit_symmetric_matches(wa, wb, better_by, n_valid_a, n_valid_b):
+        from ..matching import symmetric_matches
+
+        return symmetric_matches(
+            wa, wb, better_by=better_by, n_valid_a=n_valid_a, n_valid_b=n_valid_b
+        )
+
     def init_two_view(self, a, b):
         matches = self.symmetric_matching(a, b)
         log.info("two-view: %d symmetric matches", len(matches))
-        if len(matches) < eight_point.MIN_SAMPLES:
+        if len(matches) < self.essential_estimator.min_samples:
             return None
         self.rng.shuffle(matches)
         fa = self.data.frames[a]
@@ -333,7 +378,7 @@ class VSlam:
         bear_b = np.pad(fb.bearings[ib], ((0, pad), (0, 0)))
         model, mask, count = self.two_view_consensus.model_inliers(
             self._next_key(),
-            self._eight_point_estimator,
+            self.essential_estimator,
             (jnp.asarray(bear_a), jnp.asarray(bear_b)),
             n_valid=jnp.int32(n),
         )
@@ -362,7 +407,7 @@ class VSlam:
         maximum_cosine_distance, incidence_minimum_cosine_distance,
     ):
         """(lib.rs:1319-1360)"""
-        point = host_geom.triangulate_observations(
+        point = self.triangulator(
             [se3.identity(), first_pose, second_pose], [c, f, s]
         )
         if point is None:
@@ -418,12 +463,12 @@ class VSlam:
                 ):
                     continue
                 fp = host_geom.point_of(
-                    host_geom.triangulate_observations(
+                    self.triangulator(
                         [se3.identity(), first_pose], [bc, bf]
                     )
                 )
                 sp = host_geom.point_of(
-                    host_geom.triangulate_observations(
+                    self.triangulator(
                         [se3.identity(), second_pose], [bc, bs]
                     )
                 )
@@ -565,7 +610,7 @@ class VSlam:
         if len(obs) < 2:
             return None
         pb = self.data.landmark_pose_bearings(reconstruction, landmark)
-        return host_geom.triangulate_observations(
+        return self.triangulator(
             [p for p, _ in pb], [b for _, b in pb]
         )
 
@@ -602,7 +647,7 @@ class VSlam:
         if not self.is_landmark_robust(reconstruction, landmark):
             return None
         pb = self.data.landmark_pose_bearings(reconstruction, landmark)
-        return host_geom.triangulate_observations(
+        return self.triangulator(
             [p for p, _ in pb], [b for _, b in pb]
         )
 
@@ -622,9 +667,89 @@ class VSlam:
             for lm in landmarks
             for x in self.data.landmark_pose_bearings(reconstruction, lm)
         ]
-        return host_geom.triangulate_observations(
+        return self.triangulator(
             [p for p, _ in pb], [b for _, b in pb]
         )
+
+    def observation_loss(self, reconstruction, view, feature):
+        """Cosine-distance loss of one observation against its landmark
+        (lib.rs:2570-2620): 2.0 for singleton landmarks, epipolar sine
+        converted to cosine distance for 2-observation landmarks, and the
+        triangulated-point cosine distance (2.0 on failure) otherwise."""
+        landmark = self.data.observation_landmark(reconstruction, view, feature)
+        pose = self.data.pose(reconstruction, view)
+        bearing = self.data.observation_bearing(reconstruction, view, feature)
+        observations = self.data.landmark_observations(reconstruction, landmark)
+        if len(observations) == 0:
+            raise AssertionError("landmark with 0 observations shouldnt exist ever")
+        if len(observations) == 1:
+            return 2.0
+        if len(observations) == 2:
+            (fv, ff), (sv, sf) = observations
+            first_pose = self.data.pose(reconstruction, fv)
+            first_bearing = self.data.observation_bearing(reconstruction, fv, ff)
+            second_pose = self.data.pose(reconstruction, sv)
+            second_bearing = self.data.observation_bearing(reconstruction, sv, sf)
+            total = se3.compose(second_pose, se3.inverse(first_pose))
+            first_in_b = total[0] @ first_bearing
+            sine = host_geom.epipolar_loss(total[1], first_in_b, second_bearing)
+            return 1.0 - float(np.cos(np.arcsin(min(sine, 1.0))))
+        point = self.triangulate_landmark(reconstruction, landmark)
+        if point is None:
+            return 2.0
+        return 1.0 - float(host_geom.transform_bearing(pose, point) @ bearing)
+
+    def merge_landmarks_dedup(self, reconstruction, landmark_a, landmark_b):
+        """Merge two landmarks that may share views (lib.rs:2818-2872):
+        for every shared view, split off the observation with the WORST
+        ``observation_loss``; abort (returning None) if any split would
+        empty a landmark, else merge unconditionally."""
+        obs_a = self.data.landmark(reconstruction, landmark_a).observations
+        obs_b = self.data.landmark(reconstruction, landmark_b).observations
+        dups = [(v, (fa, obs_b[v])) for v, fa in obs_a.items() if v in obs_b]
+        success = True
+        for view, observations in dups:
+            # The reference's max_by_key keeps the LAST maximum on ties.
+            loss0 = self.observation_loss(reconstruction, view, observations[0])
+            loss1 = self.observation_loss(reconstruction, view, observations[1])
+            worst = observations[1] if loss1 >= loss0 else observations[0]
+            if not self.data.split_observation(reconstruction, view, worst):
+                # Splitting would empty the landmark: keep splitting the
+                # remaining dups for consistency but abort the merge.
+                success = False
+        if success:
+            return self.data.merge_landmarks(reconstruction, landmark_a, landmark_b)
+        return None
+
+    def is_landmark_robust_without_view(self, reconstruction, landmark, without_view):
+        """Robustness predicate ignoring one view (lib.rs:3003-3027): any
+        pair of remaining observations with incidence cosine distance above
+        the minimum."""
+        obs = [
+            o
+            for o in self.data.landmark_observations(reconstruction, landmark)
+            if o[0] != without_view
+        ]
+        wb = self._world_bearings(reconstruction, obs)
+        thresh = self.settings.robust_observation_incidence_minimum_cosine_distance
+        return any(
+            1.0 - float(wb[i] @ wb[j]) > thresh
+            for i in range(len(wb))
+            for j in range(i + 1, len(wb))
+        )
+
+    def triangulate_landmark_robust_without_view(
+        self, reconstruction, landmark, without_view
+    ):
+        """(lib.rs:3029-3044)"""
+        if not self.is_landmark_robust_without_view(
+            reconstruction, landmark, without_view
+        ):
+            return None
+        pb = self.data.landmark_pose_bearings_without_view(
+            reconstruction, landmark, without_view
+        )
+        return self.triangulator([p for p, _ in pb], [b for _, b in pb])
 
     def is_observation_consistent(self, pose, bearing, others):
         """(lib.rs:2937-2967)"""
@@ -635,7 +760,7 @@ class VSlam:
                 total, bearing, other_bearing, self.settings.maximum_sine_distance
             )
         all_obs = others + [(pose, bearing)]
-        point = host_geom.triangulate_observations(
+        point = self.triangulator(
             [p for p, _ in all_obs], [b for _, b in all_obs]
         )
         if point is None:
@@ -678,14 +803,32 @@ class VSlam:
         if feat_range:
             # 3-NN of each new feature against each matched view's frame
             # (device Hamming matmuls), then landmark-level dedup + margins.
-            self_desc = jnp.asarray(new_frame.descriptors[feat_range])
+            # Bucket-pad both sides so the 3-NN program compiles once per
+            # bucket pair (frame sizes vary when a real extractor feeds the
+            # engine); padded columns get sentinel distances and never win.
+            nq = len(feat_range)
+            wq = np.zeros(
+                (_bucket(nq), new_frame.descriptors.shape[1]),
+                new_frame.descriptors.dtype,
+            )
+            wq[:nq] = new_frame.descriptors[feat_range]
+            self_desc = jnp.asarray(wq)
             per_view = []
             for view_match in view_matches:
                 vframe = self.data.frames[rec.views[view_match].frame]
-                d = distance_matrix(self_desc, jnp.asarray(vframe.descriptors))
-                k = min(3, d.shape[1])
-                neg, idx = jax.lax.top_k(-d, k)
-                per_view.append((view_match, np.asarray(idx), np.asarray(-neg)))
+                nv = len(vframe)
+                wv = np.zeros(
+                    (_bucket(nv), vframe.descriptors.shape[1]),
+                    vframe.descriptors.dtype,
+                )
+                wv[:nv] = vframe.descriptors
+                k = min(3, nv)
+                neg, idx = self._jit_knn(
+                    self_desc, jnp.asarray(wv), jnp.int32(nv), k
+                )
+                per_view.append(
+                    (view_match, np.asarray(idx)[:nq], np.asarray(-neg)[:nq])
+                )
             for row, self_feature in enumerate(feat_range):
                 landmark_best = {}
                 for view_match, idx, dist in per_view:
@@ -831,7 +974,7 @@ class VSlam:
             wp[i] = p
         model, mask, count = self.single_view_consensus.model_inliers(
             self._next_key(),
-            self._p3p_estimator,
+            self.pose_estimator,
             (jnp.asarray(bear), jnp.asarray(wp)),
             n_valid=jnp.int32(n),
         )
@@ -1062,8 +1205,16 @@ class VSlam:
             for to_view, (from_view, pose) in constraint.edge_constraints():
                 if to_view in index and from_view in index:
                     edges.append((index[to_view], index[from_view], pose))
-        rot = np.stack([rec.views[v].pose[0] for v in view_keys])
-        trans = np.stack([rec.views[v].pose[1] for v in view_keys])
+        # Bucket-pad the view arrays too: padded views have no edges, so
+        # graph_ba_device marks them removed and the loops below (which
+        # only iterate real view_keys) never see them.  One compiled BA
+        # program per (view, edge) bucket pair instead of one per frame.
+        nv = len(view_keys)
+        vb = _bucket(nv, minimum=8)
+        rot = np.tile(np.eye(3), (vb, 1, 1))
+        trans = np.zeros((vb, 3))
+        rot[:nv] = np.stack([rec.views[v].pose[0] for v in view_keys])
+        trans[:nv] = np.stack([rec.views[v].pose[1] for v in view_keys])
         e = max(len(edges), 1)
         eb = _bucket(e)
         edge_to = np.zeros(eb, np.int32)
