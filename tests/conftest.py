@@ -24,6 +24,14 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running tier (SfM engine fixtures, KITTI golden extracts, "
+        "statistical solver tests). Fast tier: pytest -m 'not slow' (< 5 min).",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -40,6 +40,7 @@ class TestConfig:
         assert Akaze().detector_threshold == 0.001
 
 
+@pytest.mark.slow
 class TestGoldenCounts:
     def test_keypoint_counts(self, kitti_features):
         kp0, w0, kp14, w14 = kitti_features
@@ -70,6 +71,7 @@ class TestGoldenCounts:
         assert len(ia) == 11
 
 
+@pytest.mark.slow
 class TestEdgeCases:
     def test_image_too_small(self):
         ex = AkazeExtractor(Akaze.sparse())
@@ -102,6 +104,7 @@ class TestNativeLoader:
         assert x1.shape == pil_load(KITTI14).shape
 
 
+@pytest.mark.slow
 class TestSelfGoldens:
     """Frozen-output self-regression at the DEFAULT threshold (0.001),
     pinned from the first verified build (the reference pins only the

@@ -21,6 +21,7 @@ def device_features():
     return ex.extract(batch)
 
 
+@pytest.mark.slow
 class TestDeviceExtractorGoldens:
     def test_counts(self, device_features):
         fs = device_features
@@ -78,3 +79,37 @@ class TestDeviceExtractorGoldens:
         cons = BatchConsensus(threshold=0.1, hypotheses=512)
         _, _, count = cons.model_inliers(jax.random.key(42), est, (a, b))
         assert int(count) == 11
+
+
+@pytest.mark.slow
+class TestDedupScanCapOverflow:
+    """Keep-don't-drop overflow policy for conflicted candidates beyond
+    ``dedup_scan_cap`` (fast.py stage_dedup): conflicted candidates past the
+    cap skip the scan as survivors, so a tiny cap can only ADD keypoints
+    relative to the exact dedup — never lose one."""
+
+    def test_tiny_cap_superset_of_exact(self):
+        img0 = to_gray_f32(load_gray(KITTI0))
+        batch = jnp.asarray(img0)[None]
+        # max_features far above the keypoint count so the final top-M
+        # budget never binds — the comparison isolates the dedup policy.
+        exact = DeviceExtractor(
+            Akaze.sparse(), candidate_budget=256, max_features=2048
+        ).extract(batch)
+        capped = DeviceExtractor(
+            Akaze.sparse(),
+            candidate_budget=256,
+            max_features=2048,
+            dedup_scan_cap=16,  # far below the conflicted count on KITTI
+        ).extract(batch)
+        n_exact = int(np.asarray(exact.count)[0])
+        n_capped = int(np.asarray(capped.count)[0])
+        assert n_exact == 399
+        assert n_capped >= n_exact
+        # Every exact keypoint survives in the capped run (superset).
+        pts_e = np.asarray(exact.point[0])[np.asarray(exact.valid[0])]
+        pts_c = np.asarray(capped.point[0])[np.asarray(capped.valid[0])]
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(pts_c).query(pts_e)
+        assert d.max() < 1e-3

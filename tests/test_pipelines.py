@@ -24,6 +24,7 @@ from cv_tpu.triangulate import triangulate_relative
 KITTI_INTRINSICS = (9.842439e2, 9.808141e2, 6.9e2, 2.331966e2)
 
 
+@pytest.mark.slow
 class TestKittiPosePipeline:
     """BASELINE config: 'Pose pipeline: Nister-Stewenius five-point +
     lambda-twist P3P + cv-geom triangulation on KITTI pair'."""
@@ -52,14 +53,16 @@ class TestKittiPosePipeline:
                 d[1],
             ),
         )
-        cons = BatchConsensus(threshold=0.1, hypotheses=64)
+        # 0.01 keeps all 11 true inliers while rejecting the
+        # wrong-motion models that tie at 11 under a loose 0.1 threshold
+        # (the argmax tie-break is sensitive to estimator rounding).
+        cons = BatchConsensus(threshold=0.01, hypotheses=64)
         model, mask, count = cons.model_inliers(jax.random.key(1), est, (a, b))
         # The 11 matches are all inliers of the correct motion (the 8pt
         # pipeline finds 11/11); five-point must agree.
         assert int(count) == 11
         t = np.asarray(model.translation)
-        # Dominant forward motion; with the loose 0.1 threshold several
-        # models reach 11 inliers and the argmax winner varies slightly.
+        # Dominant forward motion.
         assert abs(t[2]) > 0.8 * np.linalg.norm(t)
 
     def test_triangulate_then_p3p_recovers_pose(self, kitti_pose):
@@ -132,6 +135,7 @@ class TestKittiPosePipeline:
         assert float(jnp.sum(t_dir_est * t_dir_rel)) > 0.95
 
 
+@pytest.mark.slow
 class TestAppsSmoke:
     def test_kpdraw(self, tmp_path):
         from cv_tpu.apps.kpdraw import main

@@ -118,6 +118,7 @@ class TestLambdaTwist:
         assert float(jnp.linalg.norm(model.translation - t)) < 1e-6
 
 
+@pytest.mark.slow
 class TestNisterStewenius:
     def test_exact_data_batch_recovers_pose(self, rng):
         """Batched pose recovery: the true pose must appear among the 40
