@@ -31,14 +31,20 @@ def candidate_mask(ldet: jnp.ndarray, threshold: float) -> jnp.ndarray:
 
     ``ldet`` is ``(..., H, W)``; returns a bool mask of the same shape.
     """
+    h, w = ldet.shape[-2], ldet.shape[-1]
     c = ldet[..., 1:-1, 1:-1]
-    m = c > jnp.float32(threshold)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            n = ldet[..., 1 + dy : ldet.shape[-2] - 1 + dy, 1 + dx : ldet.shape[-1] - 1 + dx]
-            m = m & (c > n)
+    # Strict max over the 8-neighborhood as c > max(neighbors), built from
+    # a horizontal 3-max so only two lane-shifted copies are materialized
+    # (each dx shift relayouts the whole plane on TPU — the naive 8-compare
+    # form pays six of them and measured ~16x slower than this).
+    row3 = jnp.maximum(
+        ldet[..., :, : w - 2], jnp.maximum(ldet[..., :, 1 : w - 1], ldet[..., :, 2:])
+    )  # (..., H, W-2) horizontal 3-max centered at x+1
+    nmax = jnp.maximum(
+        jnp.maximum(row3[..., : h - 2, :], row3[..., 2:, :]),  # rows y-1, y+1 full 3-max
+        jnp.maximum(ldet[..., 1:-1, : w - 2], ldet[..., 1:-1, 2:]),  # row y: x-1, x+1
+    )
+    m = (c > jnp.float32(threshold)) & (c > nmax)
     return jnp.pad(m, [(0, 0)] * (ldet.ndim - 2) + [(1, 1), (1, 1)])
 
 

@@ -227,7 +227,12 @@ def _compact_candidates(masked, k, chunk: int = 128):
     counts = jnp.sum(fin, axis=-1, dtype=jnp.int32)  # (N, C)
     csum = jnp.cumsum(counts, axis=1)  # inclusive
     targets = jnp.arange(1, k + 1, dtype=jnp.int32)  # p-th candidate, 1-based
-    cidx = jax.vmap(lambda cs: jnp.searchsorted(cs, targets, side="left"))(csum)
+    # searchsorted(csum, p, left) == count of chunks with csum < p: one
+    # fused compare+reduce instead of the gather-loop searchsorted lowering
+    # (measured several ms at this width on TPU).
+    cidx = jnp.sum(
+        csum[:, None, :] < targets[None, :, None], axis=-1, dtype=jnp.int32
+    )
     cidx = jnp.minimum(cidx, nch - 1).astype(jnp.int32)
     prev = jnp.where(
         cidx > 0,
