@@ -14,6 +14,8 @@ reference's ``Vec<KeyPoint>``), descriptors as ``(N, 16) uint32`` bit-packed
 
 from __future__ import annotations
 
+import logging
+import time
 from functools import partial
 
 import jax
@@ -24,6 +26,8 @@ from . import descriptors as desc
 from . import extrema
 from .config import Akaze, allocate_evolutions
 from .scale_space import build_scale_space
+
+log = logging.getLogger("cv_tpu.akaze")
 
 DESCRIPTOR_WORDS = 16
 DESCRIPTOR_BITS = 486
@@ -111,11 +115,22 @@ class AkazeExtractor:
         h, w = img.shape
         specs = self.specs(h, w)
 
+        # Coarse phase timing at info level, like the reference's Instant
+        # logs around each pipeline stage (akaze/src/lib.rs:269-336).
+        t0 = time.perf_counter()
         lts, lxs, lys, ldets, masks = self._scale_space_program(
             jnp.asarray(img), h, w
         )
         cands = extrema.extract_candidates(specs, masks, ldets)
+        t1 = time.perf_counter()
+        log.info("AKAZE scale space + detector: %.1f ms", (t1 - t0) * 1e3)
         kps = extrema.dedup_keypoints_exact(cands, self.config.derivative_factor)
+        t2 = time.perf_counter()
+        log.info(
+            "AKAZE extrema dedup: %.1f ms (%d keypoints)",
+            (t2 - t1) * 1e3,
+            len(kps["response"]),
+        )
 
         n = len(kps["response"])
         if n == 0:
@@ -179,6 +194,8 @@ class AkazeExtractor:
         order = order[: self.config.maximum_features]
         kp = {k_: v[order] for k_, v in kp.items()}
 
+        t3 = time.perf_counter()
+        log.info("AKAZE refine + orientation: %.1f ms", (t3 - t2) * 1e3)
         # M-LDB descriptors; out-of-bounds samples drop the keypoint.
         m = len(kp["response"])
         words_out = np.zeros((m, DESCRIPTOR_WORDS), np.uint32)
@@ -212,6 +229,11 @@ class AkazeExtractor:
             ok_out[sel] = np.asarray(ok)[:k]
 
         kp = {k_: v[ok_out] for k_, v in kp.items()}
+        log.info(
+            "AKAZE descriptors: %.1f ms (%d features)",
+            (time.perf_counter() - t3) * 1e3,
+            int(ok_out.sum()),
+        )
         return kp, words_out[ok_out]
 
 
