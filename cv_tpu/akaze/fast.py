@@ -691,21 +691,34 @@ class FastAkazeExtractor:
         )
 
     def extract(self, image: np.ndarray):
+        kp, words, _ = self.extract_with_sketch(image)
+        return kp, words
+
+    def extract_with_sketch(self, image: np.ndarray):
+        """Extract plus the frame's LSH sketch, fused into the same XLA
+        program (the engine otherwise pays a separate device dispatch for
+        ``lsh.hash_bag``, lib.rs:210-220).  All outputs come back in ONE
+        batched device->host fetch — through a remote-device tunnel each
+        fetch costs ~tens of ms, so one fetch instead of eight dominates
+        per-frame latency."""
         from .extract import to_gray_f32
 
         img = to_gray_f32(image)
-        fs = self._dev.extract(jnp.asarray(img)[None])
-        valid = np.asarray(fs.valid[0])
+        fs, sketch = self._dev.extract_sketch(jnp.asarray(img)[None])
+        host = jax.device_get(
+            (fs.valid[0], fs.point[0], fs.response[0], fs.size[0],
+             fs.angle[0], fs.octave[0], fs.class_id[0], fs.words[0], sketch)
+        )
+        valid, point, response, size, angle, octave, class_id, words, sk = host
         kp = {
-            "point": np.asarray(fs.point[0])[valid],
-            "response": np.asarray(fs.response[0])[valid],
-            "size": np.asarray(fs.size[0])[valid],
-            "angle": np.asarray(fs.angle[0])[valid],
-            "octave": np.asarray(fs.octave[0])[valid],
-            "class_id": np.asarray(fs.class_id[0])[valid],
+            "point": point[valid],
+            "response": response[valid],
+            "size": size[valid],
+            "angle": angle[valid],
+            "octave": octave[valid],
+            "class_id": class_id[valid],
         }
-        words = np.asarray(fs.words[0])[valid]
-        return kp, words
+        return kp, words[valid], sk
 
 
 class DeviceExtractor:
@@ -760,3 +773,28 @@ class DeviceExtractor:
         cand = stage_dedup(cand, k, self.dedup_scan_cap)
         sel = stage_refine_select(cfg, specs, cand, planes, k, self.max_features)
         return stage_describe(cfg, planes, sel, self.sampler, self.onehot_mode)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def extract_sketch(self, images: jnp.ndarray):
+        """``extract`` plus the per-frame LSH bag-of-words sketch
+        (lib.rs:210-220) computed in the same program.  Only makes sense for
+        B=1 (one sketch per frame); returns ``(FeatureSet, (16,) uint32)``."""
+        from ..matching import lsh
+
+        fs = self.extract(images)
+        words = fs.words[0]
+        valid = fs.valid[0]
+        cw = jnp.asarray(lsh.codewords())
+        d = lsh.distance_matrix(words, cw)
+        nearest = jnp.argmin(d, axis=-1)
+        # Invalid rows vote out-of-range and are dropped by the scatter.
+        nearest = jnp.where(valid, nearest, lsh.SKETCH_BITS)
+        votes = (
+            jnp.zeros((lsh.SKETCH_BITS,), jnp.uint32)
+            .at[nearest]
+            .set(1, mode="drop")
+        )
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = votes.reshape(lsh.SKETCH_WORDS, 32)
+        sketch = jnp.sum(bits << shifts[None, :], axis=-1, dtype=jnp.uint32)
+        return fs, sketch

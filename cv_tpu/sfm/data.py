@@ -19,6 +19,9 @@ import numpy as np
 
 from ..matching import lsh
 
+# Byte-popcount lookup for host-side sketch Hamming distances.
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
 
 def canonical_view_order(views):
     """Sorted 3-tuple (lib.rs:54-57)."""
@@ -167,11 +170,14 @@ class VSlamData:
 
     # -- mutation (lib.rs:377-721) ------------------------------------------
     def add_frame_features(
-        self, feed: int, descriptors, bearings, responses, colors
+        self, feed: int, descriptors, bearings, responses, colors, sketch=None
     ) -> int:
-        import jax.numpy as jnp
+        if sketch is None:
+            import jax.numpy as jnp
 
-        sketch = np.asarray(lsh.hash_bag(jnp.asarray(descriptors)))
+            sketch = np.asarray(lsh.hash_bag(jnp.asarray(descriptors)))
+        else:
+            sketch = np.asarray(sketch)
         frame = self.frames.insert(
             Frame(
                 feed=feed,
@@ -322,10 +328,6 @@ class VSlamData:
         similar_frames_search_num: int,
     ):
         """LSH + recency frame retrieval (lib.rs:597-668)."""
-        import jax.numpy as jnp
-
-        from ..matching.lsh import sketch_distances
-
         feed = self.frames[frame].feed
         frame_feed_ix = self.frames[frame].feed_frame
         recent_frames = [
@@ -335,18 +337,12 @@ class VSlamData:
         ]
         similar_frames = []
         if num_similar_frames > 0 and len(self.sketch_frames) > 1:
-            # Bucket-pad the sketch table so the distance program compiles
-            # once per power-of-two frame-count bucket, not once per frame.
+            # A sketch table is a few KB of uint32 — Hamming distances via a
+            # host popcount table beat a device dispatch (the retrieval is
+            # latency-bound, one call per frame; lib.rs:597-613).
             stack = np.stack(self.frame_sketches)
-            nf = stack.shape[0]
-            nb = 64
-            while nb < nf:
-                nb *= 2
-            padded = np.zeros((nb, stack.shape[1]), stack.dtype)
-            padded[:nf] = stack
-            d = np.asarray(
-                sketch_distances(jnp.asarray(self.frames[frame].sketch), jnp.asarray(padded))
-            )[:nf]
+            x = (stack ^ self.frames[frame].sketch[None, :]).view(np.uint8)
+            d = _POPCOUNT8[x].sum(axis=1, dtype=np.int32)
             order = np.argsort(d, kind="stable")[:similar_frames_search_num]
             for ix in order:
                 found = self.sketch_frames[ix]
@@ -374,10 +370,21 @@ class VSlamData:
 
     # -- persistence (vslam-sandbox/src/main.rs:81-89, 166-175) -------------
     def save(self, path):
-        with open(path, "wb") as f:
-            pickle.dump(self, f)
+        """Write a versioned, schema'd npz checkpoint (no pickled code —
+        see :mod:`cv_tpu.sfm.serialize`)."""
+        from .serialize import save_npz
+
+        save_npz(self, path)
 
     @staticmethod
     def load(path) -> "VSlamData":
+        """Load either a schema'd npz checkpoint or a legacy pickle (round-1
+        format, detected by magic bytes)."""
+        with open(path, "rb") as f:
+            magic = f.read(2)
+        if magic == b"PK":  # npz = zip container
+            from .serialize import load_npz
+
+            return load_npz(path)
         with open(path, "rb") as f:
             return pickle.load(f)

@@ -1,0 +1,147 @@
+"""Fused single-view registration refinement — one XLA program.
+
+TPU-first re-design of the reference's ``register_frame`` filter cascade
+(``/root/reference/cv-sfm/src/lib.rs:1452-1812``; the consistency predicate
+is ``lib.rs:2937-2967``).  The reference re-optimizes the pose and then
+re-filters matches one landmark at a time on the host, five times over.
+Here the whole cascade is a single jitted program over padded
+``(match, observation)`` tensors: each filter iteration optimizes the pose
+over the active match set (masked :func:`single_view_simple_optimize_l2`),
+then recomputes the consistency mask for EVERY candidate match in parallel —
+batched Linear-Eigen triangulation of (landmark observations + the new
+observation) plus the reprojection / bi-landmark gates — and caps the active
+set in match order exactly like the reference's early ``break``.
+
+Robust landmark points are pose-independent during the cascade (they come
+from the OTHER views' observations only), so they are computed once by the
+host batch kernels (:mod:`cv_tpu.sfm.batch_geom`) and passed in.
+
+Through a remote-device tunnel this turns ~12 round trips per registration
+into one dispatch + one fetch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import projective, smallmat
+from ..core.pose import Isometry3
+from ..geom import epipolar
+from ..optimize import single_view_simple_optimize_l2
+from ..triangulate import linear_eigen
+
+
+def _consistency_mask(
+    pose: Isometry3,
+    bearings,  # (M, 3) new-frame bearings
+    n_others,  # (M,) real observation counts
+    obs_rot,   # (M, O, 3, 3) other-view poses
+    obs_trans,  # (M, O, 3)
+    all_bear,  # (M, O+1, 3) other bearings + new bearing in the last slot
+    all_mask,  # (M, O+1) with the last slot always True
+    max_sine,
+    max_cos,
+):
+    """``is_observation_consistent`` (lib.rs:2937-2967) for every match."""
+    m = bearings.shape[0]
+    # Multi-observation path: triangulate others + the new observation and
+    # require every reprojection under the cosine gate.
+    rot_b = jnp.broadcast_to(pose.rotation, (m, 1, 3, 3))
+    t_b = jnp.broadcast_to(pose.translation, (m, 1, 3))
+    all_rot = jnp.concatenate([obs_rot, rot_b], axis=1)
+    all_t = jnp.concatenate([obs_trans, t_b], axis=1)
+    poses = Isometry3(rotation=all_rot, translation=all_t)
+    point, ok = linear_eigen.triangulate_observations(poses, all_bear, valid=all_mask)
+    cam = poses.transform(point[:, None, :])  # (M, O+1, 4)
+    cosd = 1.0 - jnp.sum(projective.bearing(cam) * all_bear, axis=-1)
+    multi_ok = ok & jnp.all((cosd < max_cos) | ~all_mask, axis=-1)
+    # Single-other path: bi-landmark robustness under other . pose^-1
+    # (lib.rs:2940-2951, 1306-1317).
+    rot_p_t = jnp.swapaxes(pose.rotation, -1, -2)
+    r_rel = smallmat.matmul(obs_rot[:, 0], rot_p_t)
+    t_rel = obs_trans[:, 0] - smallmat.matvec(r_rel, pose.translation)
+    a_in_b = smallmat.matvec(r_rel, bearings)
+    bi_ok = epipolar.loss(t_rel, a_in_b, all_bear[:, 0]) < max_sine
+    return jnp.where(n_others == 1, bi_ok, multi_ok)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("filter_iterations", "cap", "rate", "patience"),
+)
+def register_refine(
+    rot0,        # (3, 3) consensus pose
+    t0,          # (3,)
+    bearings,    # (M, 3) new-frame bearing per candidate match
+    points,      # (M, 4) robust landmark points (zeros when not robust)
+    point_ok,    # (M,) robust_point(landmarks) is not None
+    match_valid,  # (M,) real (non-padded) match
+    obs_rot,     # (M, O, 3, 3) landmark observations ("others")
+    obs_trans,   # (M, O, 3)
+    obs_bear,    # (M, O, 3)
+    obs_mask,    # (M, O)
+    init_active,  # (M,) the consensus-inlier active set, already capped
+    max_sine,
+    max_cos,
+    filter_iterations: int,
+    cap: int,
+    rate: float,
+    patience: int,
+):
+    """Run the filter cascade; returns
+    ``(rotation, translation, final_consistent (M,), counts
+    (filter_iterations,), final_count, final_robust)``.
+
+    ``counts[i]`` is the active-match count after filter iteration ``i`` —
+    the host checks the reference's early-outs (lib.rs:1686-1704) against
+    them; no data is mutated until the checks pass, so deferring the checks
+    is observationally identical.
+    """
+    pose0 = Isometry3(rotation=rot0, translation=t0)
+    m = bearings.shape[0]
+    n_others = jnp.sum(obs_mask, axis=1)
+    all_bear = jnp.concatenate([obs_bear, bearings[:, None, :]], axis=1)
+    all_mask = jnp.concatenate(
+        [obs_mask, jnp.ones((m, 1), bool)], axis=1
+    )
+
+    def consistent(pose):
+        return _consistency_mask(
+            pose, bearings, n_others, obs_rot, obs_trans,
+            all_bear, all_mask, max_sine, max_cos,
+        )
+
+    def refiltered(pose):
+        c = consistent(pose) & point_ok & match_valid
+        return c & (jnp.cumsum(c) <= cap)
+
+    def body(i, state):
+        pose, active, counts = state
+        pose = single_view_simple_optimize_l2(
+            pose, bearings, points, active, rate, patience
+        )
+        active = refiltered(pose)
+        counts = counts.at[i].set(jnp.sum(active, dtype=jnp.int32))
+        return pose, active, counts
+
+    counts0 = jnp.zeros((filter_iterations,), jnp.int32)
+    pose, active, counts = jax.lax.fori_loop(
+        0, filter_iterations, body, (pose0, init_active, counts0)
+    )
+    pose = single_view_simple_optimize_l2(
+        pose, bearings, points, active, rate, patience
+    )
+    fmask = consistent(pose) & match_valid
+    final_count = jnp.sum(fmask, dtype=jnp.int32)
+    final_robust = jnp.sum(fmask & point_ok, dtype=jnp.int32)
+    return (
+        pose.rotation,
+        pose.translation,
+        fmask,
+        counts,
+        final_count,
+        final_robust,
+    )

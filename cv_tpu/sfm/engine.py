@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..akaze import Akaze, AkazeExtractor
-from ..camera import CameraIntrinsicsK1Distortion
+from ..camera import CameraIntrinsics, CameraIntrinsicsK1Distortion
 from ..consensus import BatchConsensus, Estimator
 from ..core import Isometry3, camera_to_camera_residual, world_to_camera_residual
 from ..core import smallmat
@@ -38,7 +38,7 @@ from ..optimize import (
     three_view_simple_optimize_l2,
 )
 from ..solvers import eight_point, lambda_twist
-from . import host_geom, se3
+from . import batch_geom, device_refine, host_geom, se3
 from .bicubic import bicubic_colors
 from .data import Feed, VSlamData, canonical_view_order, ThreeViewConstraint
 from .settings import VSlamSettings
@@ -61,9 +61,54 @@ def _pose_from_device(p: Isometry3):
     return (np.asarray(p.rotation, np.float64), np.asarray(p.translation, np.float64))
 
 
+def _calibrate_host(intrinsics, pts: np.ndarray) -> np.ndarray:
+    """NumPy mirror of ``CameraIntrinsics(K1Distortion).calibrate``
+    (pinhole.rs:108-116, 191-202) — per-frame calibration is tiny math, so
+    running it on host removes one device round trip per frame.  Returns
+    None for camera models without a host mirror (the caller falls back to
+    the model's device ``calibrate``)."""
+    si = getattr(intrinsics, "simple_intrinsics", intrinsics)
+    if not isinstance(si, CameraIntrinsics):
+        return None
+    pp = np.asarray(si.principal_point, np.float64)
+    focals = np.asarray(si.focals, np.float64)
+    skew = float(np.asarray(si.skew))
+    k1 = (
+        float(np.asarray(intrinsics.k1))
+        if isinstance(intrinsics, CameraIntrinsicsK1Distortion)
+        else 0.0
+    )
+    centered = np.asarray(pts, np.float64) - pp
+    y = centered[..., 1] / focals[1]
+    x = (centered[..., 0] - skew * y) / focals[0]
+    f = 1.0 + k1 * (x * x + y * y)
+    v = np.stack([x / f, y / f, np.ones_like(x)], axis=-1)
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
 # ---------------------------------------------------------------------------
 # Device kernels with static-shape buckets
 # ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def _three_view_batch_device(rot1, t1, rot2, t2, obs, valid, iterations):
+    """Vmapped :func:`three_view_adaptive_optimize_l2` over K independent
+    constraint problems (three_view_optimizer.rs:203-272)."""
+
+    def one(r1, tt1, r2, tt2, o, v):
+        o1, o2 = three_view_adaptive_optimize_l2(
+            (
+                Isometry3(rotation=r1, translation=tt1),
+                Isometry3(rotation=r2, translation=tt2),
+            ),
+            o,
+            v,
+            iterations,
+        )
+        return o1.rotation, o1.translation, o2.rotation, o2.translation
+
+    return jax.vmap(one)(rot1, t1, rot2, t2, obs, valid)
 
 
 @partial(jax.jit, static_argnames=("iterations", "rate"))
@@ -216,11 +261,11 @@ class VSlam:
     def add_frame(self, feed: int, image: np.ndarray) -> int:
         """Extract features, add the frame, and attempt localization
         (lib.rs:790-809)."""
-        descriptors, bearings, responses, colors = self.kps_descriptors(
+        descriptors, bearings, responses, colors, sketch = self.kps_descriptors(
             self.data.feeds[feed].intrinsics, image
         )
         frame = self.data.add_frame_features(
-            feed, descriptors, bearings, responses, colors
+            feed, descriptors, bearings, responses, colors, sketch=sketch
         )
         reconstruction_frames, free_frames = (
             self.data.find_visually_similar_and_recent_frames(
@@ -236,15 +281,23 @@ class VSlam:
 
     def kps_descriptors(self, intrinsics, image: np.ndarray):
         """AKAZE extraction + bicubic color sampling + calibration
-        (lib.rs:2195-2236)."""
-        kp, words = self._extractor.extract(image)
+        (lib.rs:2195-2236).  Calibration runs on host for the built-in
+        camera models; the frame sketch is fused into the extractor program
+        when the extractor supports it (zero extra dispatches)."""
+        if hasattr(self._extractor, "extract_with_sketch"):
+            kp, words, sketch = self._extractor.extract_with_sketch(image)
+        else:
+            kp, words = self._extractor.extract(image)
+            sketch = None
         pts = kp["point"]
         colors = bicubic_colors(image, pts)
-        bearings = np.asarray(
-            intrinsics.calibrate(jnp.asarray(pts, jnp.float64)), np.float64
-        )
+        bearings = _calibrate_host(intrinsics, pts)
+        if bearings is None:
+            bearings = np.asarray(
+                intrinsics.calibrate(jnp.asarray(pts, jnp.float64)), np.float64
+            )
         # Already sorted by response descending (extractor contract).
-        return words, bearings, kp["response"], colors
+        return words, bearings, kp["response"], colors, sketch
 
     # -- localization cascade (lib.rs:847-958) -------------------------------
     def try_localize(self, frame, reconstruction_frames, free_frames):
@@ -868,18 +921,33 @@ class VSlam:
         )
         log.info("register: %d deduplicated matches", len(matches))
 
-        def robust_point(landmarks):
-            if len(landmarks) == 1:
-                return self.triangulate_landmark_robust(
-                    reconstruction_key, landmarks[0]
-                )
-            return self.triangulate_merged_landmark_robust(
-                reconstruction_key, landmarks
+        use_batch = self.triangulator is host_geom.triangulate_observations
+        if use_batch:
+            # One batched triangulation+robustness pass for EVERY match
+            # (lib.rs:2971-3000); robust points are pose-independent, so the
+            # cache stays valid through the whole filter cascade below.
+            pts, ok = self._robust_points_batch(
+                reconstruction_key, [lms for lms, _ in matches]
             )
 
+            def robust_point(i):
+                return pts[i] if ok[i] else None
+
+        else:
+
+            def robust_point(i):
+                landmarks = matches[i][0]
+                if len(landmarks) == 1:
+                    return self.triangulate_landmark_robust(
+                        reconstruction_key, landmarks[0]
+                    )
+                return self.triangulate_merged_landmark_robust(
+                    reconstruction_key, landmarks
+                )
+
         matches_3d = []
-        for landmarks, feature in matches:
-            point = robust_point(landmarks)
+        for i, (landmarks, feature) in enumerate(matches):
+            point = robust_point(i)
             if point is not None:
                 matches_3d.append((new_frame.bearings[feature], point))
         if len(matches_3d) < s.single_view_minimum_landmarks:
@@ -889,7 +957,14 @@ class VSlam:
         pose, inlier_mask = self._single_view_consensus(matches_3d)
         if pose is None:
             return None
-        matches_3d = [m for m, ok in zip(matches_3d, inlier_mask) if ok][
+        if use_batch:
+            # Whole filter cascade (optimize -> re-filter, x iterations) as
+            # ONE fused device program (lib.rs:1686-1779); ~12 device round
+            # trips become one dispatch + one fetch.
+            return self._register_refine_device(
+                reconstruction_key, new_frame, matches, pts, ok, inlier_mask, pose
+            )
+        matches_3d = [m for m, keep in zip(matches_3d, inlier_mask) if keep][
             : s.single_view_optimization_num_matches
         ]
         robust_minimum_matches = len(matches_3d) // 2
@@ -916,7 +991,7 @@ class VSlam:
 
         def consistent_matches(pose):
             out = []
-            for landmarks, feature in matches:
+            for i, (landmarks, feature) in enumerate(matches):
                 bearing = new_frame.bearings[feature]
                 others = [
                     x
@@ -925,7 +1000,7 @@ class VSlam:
                 ]
                 if not self.is_observation_consistent(pose, bearing, others):
                     continue
-                point = robust_point(landmarks)
+                point = robust_point(i)
                 if point is None:
                     continue
                 out.append((bearing, point))
@@ -945,7 +1020,7 @@ class VSlam:
 
         final_robust = 0
         final_matches = {}
-        for landmarks, feature in matches:
+        for i, (landmarks, feature) in enumerate(matches):
             bearing = new_frame.bearings[feature]
             others = [
                 x
@@ -955,13 +1030,91 @@ class VSlam:
             if not self.is_observation_consistent(pose, bearing, others):
                 continue
             final_matches[feature] = landmarks
-            if robust_point(landmarks) is not None:
+            if robust_point(i) is not None:
                 final_robust += 1
         if final_robust <= robust_minimum_matches:
             return None
         if len(final_matches) < s.single_view_minimum_robust_landmarks:
             log.info("register: only %d final matches", len(final_matches))
             return None
+        return pose, final_matches
+
+    def _register_refine_device(
+        self, reconstruction_key, new_frame, matches, pts, ok, inlier_mask, pose0
+    ):
+        """Finish ``register_frame_subset`` via the fused device cascade
+        (:func:`cv_tpu.sfm.device_refine.register_refine`).  Inputs are the
+        batched robust points (``pts``/``ok`` over ``matches``) and the
+        consensus result; the reference's early-outs (lib.rs:1686-1704) are
+        replayed on host from the returned per-iteration counts."""
+        s = self.settings
+        rec = self.data.reconstructions[reconstruction_key]
+        m = len(matches)
+        mb = _bucket(m)
+        obs_lists = [
+            [o for lm in lms for o in rec.landmarks[lm].observations.items()]
+            for lms, _ in matches
+        ] + [[] for _ in range(mb - m)]
+        vp, vb = batch_geom.view_caches(self.data, reconstruction_key)
+        o_max = _bucket(max(len(x) for x in obs_lists), minimum=4)
+        rot_o, trans_o, bear_o, mask_o, _, _ = batch_geom.pack_observations(
+            obs_lists, vp, vb, o_max=o_max
+        )
+        bearings = np.zeros((mb, 3))
+        for i, (_, f) in enumerate(matches):
+            bearings[i] = new_frame.bearings[f]
+        points = np.zeros((mb, 4))
+        points[:m][ok] = pts[ok]
+        point_ok = np.zeros(mb, bool)
+        point_ok[:m] = ok
+        match_valid = np.zeros(mb, bool)
+        match_valid[:m] = True
+        # Consensus inliers (aligned with the robust-point subset order),
+        # capped in match order like the reference's initial matches_3d.
+        inlier_full = np.zeros(mb, bool)
+        inlier_full[np.nonzero(ok)[0]] = np.asarray(inlier_mask, bool)
+        cap = s.single_view_optimization_num_matches
+        init_active = inlier_full & (np.cumsum(inlier_full) <= cap)
+        c0 = int(init_active.sum())
+        robust_minimum_matches = c0 // 2
+        out = device_refine.register_refine(
+            jnp.asarray(pose0[0]),
+            jnp.asarray(pose0[1]),
+            jnp.asarray(bearings),
+            jnp.asarray(points),
+            jnp.asarray(point_ok),
+            jnp.asarray(match_valid),
+            jnp.asarray(rot_o),
+            jnp.asarray(trans_o),
+            jnp.asarray(bear_o),
+            jnp.asarray(mask_o),
+            jnp.asarray(init_active),
+            s.maximum_sine_distance,
+            s.maximum_cosine_distance,
+            filter_iterations=s.single_view_filter_loop_iterations,
+            cap=cap,
+            rate=s.single_view_optimization_rate,
+            patience=s.single_view_patience,
+        )
+        rot, t, fmask, counts, final_count, final_robust = jax.device_get(out)
+        c_prev = c0
+        for i in range(s.single_view_filter_loop_iterations):
+            if c_prev <= robust_minimum_matches:
+                log.info("register: lost too many matches mid-loop")
+                return None
+            c_prev = int(counts[i])
+        if c_prev <= robust_minimum_matches:
+            return None
+        if int(final_robust) <= robust_minimum_matches:
+            return None
+        final_matches = {}
+        for i in np.nonzero(fmask[:m])[0]:
+            lms, feature = matches[i]
+            final_matches[feature] = lms
+        if len(final_matches) < s.single_view_minimum_robust_landmarks:
+            log.info("register: only %d final matches", len(final_matches))
+            return None
+        pose = (np.asarray(rot, np.float64), np.asarray(t, np.float64))
         return pose, final_matches
 
     def _single_view_consensus(self, matches_3d):
@@ -1013,9 +1166,19 @@ class VSlam:
     # -- constraint generation (lib.rs:2438-2567) -----------------------------------
     def view_covisibilities(self, reconstruction, view):
         covis = {}
-        for landmark in self.data.reconstructions[reconstruction].views[view].landmarks:
-            if self.triangulate_landmark_robust(reconstruction, landmark) is None:
-                continue
+        view_landmarks = self.data.reconstructions[reconstruction].views[view].landmarks
+        if self.triangulator is host_geom.triangulate_observations:
+            unique = list(dict.fromkeys(view_landmarks))
+            _, ok = self._robust_points_batch(reconstruction, unique)
+            robust = {lm for lm, good in zip(unique, ok) if good}
+            iterate = (lm for lm in view_landmarks if lm in robust)
+        else:
+            iterate = (
+                lm
+                for lm in view_landmarks
+                if self.triangulate_landmark_robust(reconstruction, lm) is not None
+            )
+        for landmark in iterate:
             for coview in self.data.landmark(reconstruction, landmark).observations:
                 if coview != view:
                     covis.setdefault(coview, []).append(landmark)
@@ -1051,17 +1214,82 @@ class VSlam:
             if len(unique) >= s.optimization_maximum_three_view_constraints:
                 break
         rest = [(v, l) for v, l in robust if all(v != u for u, _ in unique)]
+        ordered = unique + rest
         out = []
-        for views, lms in unique + rest:
-            c = self.optimize_three_view(reconstruction, views, list(lms))
-            if c is not None:
-                out.append(c)
-            if len(out) >= s.optimization_maximum_three_view_constraints:
-                break
+        max_c = s.optimization_maximum_three_view_constraints
+        i = 0
+        while i < len(ordered) and len(out) < max_c:
+            # One vmapped device dispatch per chunk instead of one per
+            # candidate triple (the reference optimizes serially,
+            # lib.rs:2520-2534; each triple is independent).  The first
+            # chunk covers the maximum take, so one dispatch is the norm.
+            chunk = ordered[i : i + max_c]
+            i += len(chunk)
+            for c in self._optimize_three_view_chunk(reconstruction, chunk):
+                if c is not None:
+                    out.append(c)
+                if len(out) >= max_c:
+                    break
         return out
 
-    def optimize_three_view(self, reconstruction, views, landmarks):
-        """(lib.rs:1939-2062)"""
+    def _optimize_three_view_chunk(self, reconstruction, items):
+        """Batched :meth:`optimize_three_view` over candidate triples.
+
+        Host pre-checks (landmark count, bearing-pair robustness) and the
+        scale post-check match the scalar path; the adaptive optimizations
+        run as ONE vmapped program (lib.rs:1939-2062)."""
+        s = self.settings
+        results = [None] * len(items)
+        problems = []
+        for i, (views, lms) in enumerate(items):
+            prep = self._prep_three_view(reconstruction, views, list(lms))
+            if prep is not None:
+                problems.append((i, views, prep))
+        if not problems:
+            return results
+        n = _bucket(s.optimization_maximum_landmarks, minimum=8)
+        k = _bucket(len(problems), minimum=4)
+        rot1 = np.tile(np.eye(3), (k, 1, 1))
+        t1 = np.zeros((k, 3))
+        rot2 = np.tile(np.eye(3), (k, 1, 1))
+        t2 = np.zeros((k, 3))
+        obs = np.zeros((k, n, 3, 3))
+        valid = np.zeros((k, n), bool)
+        for j, (_, _, (first_pose, second_pose, arr, _)) in enumerate(problems):
+            rot1[j], t1[j] = first_pose
+            rot2[j], t2[j] = second_pose
+            obs[j, : len(arr)] = arr
+            valid[j, : len(arr)] = True
+        o1r, o1t, o2r, o2t = jax.device_get(
+            _three_view_batch_device(
+                jnp.asarray(rot1),
+                jnp.asarray(t1),
+                jnp.asarray(rot2),
+                jnp.asarray(t2),
+                jnp.asarray(obs),
+                jnp.asarray(valid),
+                iterations=s.constraint_patience,
+            )
+        )
+        for j, (i, views, (first_pose, second_pose, _, original_scale)) in enumerate(
+            problems
+        ):
+            fp = (np.asarray(o1r[j], np.float64), np.asarray(o1t[j], np.float64))
+            sp = (np.asarray(o2r[j], np.float64), np.asarray(o2t[j], np.float64))
+            final_scale = float(np.linalg.norm(fp[1]) + np.linalg.norm(sp[1]))
+            if final_scale == 0 or not np.isfinite(final_scale):
+                continue
+            rel = original_scale / final_scale
+            results[i] = ThreeViewConstraint(
+                views=tuple(views),
+                poses=(se3.scale(fp, rel), se3.scale(sp, rel)),
+            )
+        return results
+
+    def _prep_three_view(self, reconstruction, views, landmarks):
+        """Host-side preamble of ``optimize_three_view`` (lib.rs:1939-2010):
+        returns ``(first_pose, second_pose, bearings (n, 3, 3),
+        original_scale)`` or None when the candidate fails the pre-checks."""
         s = self.settings
         if len(landmarks) < s.optimization_minimum_landmarks:
             return None
@@ -1090,31 +1318,11 @@ class VSlam:
         pair_ok = np.all(diffs > thresh, axis=-1)
         if int(np.sum(np.triu(pair_ok, 1))) < s.robust_view_num_robust_bearing_pair:
             return None
+        return first_pose, second_pose, arr, original_scale
 
-        n = len(opti)
-        npad = _bucket(n)
-        obs_arr = np.zeros((npad, 3, 3))
-        obs_arr[:n] = arr
-        valid = np.zeros(npad, bool)
-        valid[:n] = True
-        o1, o2 = three_view_adaptive_optimize_l2(
-            (_pose_to_device(first_pose), _pose_to_device(second_pose)),
-            jnp.asarray(obs_arr),
-            jnp.asarray(valid),
-            s.constraint_patience,
-        )
-        first_pose = _pose_from_device(o1)
-        second_pose = _pose_from_device(o2)
-        final_scale = float(
-            np.linalg.norm(first_pose[1]) + np.linalg.norm(second_pose[1])
-        )
-        if final_scale == 0 or not np.isfinite(final_scale):
-            return None
-        rel = original_scale / final_scale
-        return ThreeViewConstraint(
-            views=tuple(views),
-            poses=(se3.scale(first_pose, rel), se3.scale(second_pose, rel)),
-        )
+    def optimize_three_view(self, reconstruction, views, landmarks):
+        """(lib.rs:1939-2062)"""
+        return self._optimize_three_view_chunk(reconstruction, [(views, landmarks)])[0]
 
     # -- reconstruction merging (lib.rs:1817-1887, 2116-2193) -----------------------
     def try_merge_reconstructions(
@@ -1259,6 +1467,125 @@ class VSlam:
 
     # -- observation filtering (lib.rs:2657-2757) --------------------------------------
     def filter_non_robust_observations(self, reconstruction):
+        """Split non-robust observations and drop the reconstruction when too
+        few robust landmarks remain (lib.rs:2657-2757).
+
+        TPU-first shape: every landmark's checks are independent of the
+        others' splits (splits only touch the landmark's own observation
+        dict), so the whole pass runs as a handful of batched ``(landmark,
+        observation)`` NumPy kernels (:mod:`cv_tpu.sfm.batch_geom`) instead
+        of one tiny triangulation per landmark per Python iteration."""
+        if self.triangulator is host_geom.triangulate_observations:
+            return self._filter_non_robust_observations_batched(reconstruction)
+        return self._filter_non_robust_observations_scalar(reconstruction)
+
+    def _filter_non_robust_observations_batched(self, reconstruction):
+        s = self.settings
+        data = self.data
+        rec = data.reconstructions[reconstruction]
+        landmarks = [
+            lm for lm in rec.landmarks if len(rec.landmarks[lm].observations) >= 2
+        ]
+        if landmarks:
+            rot, trans, bear, mask, views, feats = batch_geom.pack_landmarks(
+                data, reconstruction, landmarks
+            )
+            n_obs = mask.sum(axis=1)
+            two = n_obs == 2
+            if np.any(two):
+                idx = np.nonzero(two)[0]
+                rrel, trel = batch_geom.relative_pose_batch(
+                    rot[idx, 0], trans[idx, 0], rot[idx, 1], trans[idx, 1]
+                )
+                ok = batch_geom.bi_robust_batch(
+                    rrel, trel, bear[idx, 0], bear[idx, 1], s.maximum_sine_distance
+                )
+                for i, good in zip(idx, ok):
+                    if not good:
+                        self.split_landmark(reconstruction, landmarks[i])
+            many = n_obs >= 3
+            if np.any(many):
+                idx = np.nonzero(many)[0]
+                pts, ok = batch_geom.triangulate_batch(
+                    rot[idx], trans[idx], bear[idx], mask[idx]
+                )
+                cosd = batch_geom.reproject_cosine_batch(
+                    rot[idx], trans[idx], bear[idx], mask[idx], pts
+                )
+                bad_obs = (cosd > s.maximum_cosine_distance) & mask[idx]
+                for row, i in enumerate(idx):
+                    if not ok[row]:
+                        self.split_landmark(reconstruction, landmarks[i])
+                        continue
+                    for j in np.nonzero(bad_obs[row])[0]:
+                        data.split_observation(
+                            reconstruction, int(views[i, j]), int(feats[i, j])
+                        )
+        robust = int(np.sum(self._robust_mask_batch(reconstruction, list(rec.landmarks))))
+        log.info("filtering left %d robust landmarks", robust)
+        if robust < s.minimum_robust_landmarks:
+            self.data.remove_reconstruction(reconstruction)
+            return None
+        return reconstruction
+
+    def _robust_mask_batch(self, reconstruction, landmark_lists):
+        """Batched ``are_observations_robust`` over rows of landmarks (or
+        lists of landmarks whose observations are merged, lib.rs:2907-2934).
+        Returns a (N,) bool mask."""
+        if not landmark_lists:
+            return np.zeros(0, bool)
+        data = self.data
+        rec = data.reconstructions[reconstruction]
+        obs_lists = []
+        for lms in landmark_lists:
+            if isinstance(lms, (list, tuple)):
+                obs_lists.append(
+                    [o for lm in lms for o in rec.landmarks[lm].observations.items()]
+                )
+            else:
+                obs_lists.append(list(rec.landmarks[lms].observations.items()))
+        vp, vb = batch_geom.view_caches(data, reconstruction)
+        rot, trans, bear, mask, _, _ = batch_geom.pack_observations(obs_lists, vp, vb)
+        needed = min(self.settings.robust_minimum_observations, len(rec.views))
+        return batch_geom.incidence_robust_batch(
+            rot,
+            bear,
+            mask,
+            self.settings.robust_observation_incidence_minimum_cosine_distance,
+            needed,
+        )
+
+    def _robust_points_batch(self, reconstruction, landmark_lists):
+        """Batched ``triangulate_landmark_robust`` /
+        ``triangulate_merged_landmark_robust`` (lib.rs:2971-3000): returns
+        ``(points (N, 4), ok (N,))`` where ``ok`` means the row is robust AND
+        triangulation succeeded."""
+        if not landmark_lists:
+            return np.zeros((0, 4)), np.zeros(0, bool)
+        data = self.data
+        rec = data.reconstructions[reconstruction]
+        obs_lists = []
+        for lms in landmark_lists:
+            if isinstance(lms, (list, tuple)):
+                obs_lists.append(
+                    [o for lm in lms for o in rec.landmarks[lm].observations.items()]
+                )
+            else:
+                obs_lists.append(list(rec.landmarks[lms].observations.items()))
+        vp, vb = batch_geom.view_caches(data, reconstruction)
+        rot, trans, bear, mask, _, _ = batch_geom.pack_observations(obs_lists, vp, vb)
+        needed = min(self.settings.robust_minimum_observations, len(rec.views))
+        robust = batch_geom.incidence_robust_batch(
+            rot,
+            bear,
+            mask,
+            self.settings.robust_observation_incidence_minimum_cosine_distance,
+            needed,
+        )
+        pts, tri_ok = batch_geom.triangulate_batch(rot, trans, bear, mask)
+        return pts, robust & tri_ok
+
+    def _filter_non_robust_observations_scalar(self, reconstruction):
         rec = self.data.reconstructions[reconstruction]
         landmarks = list(rec.landmarks)
         for landmark in landmarks:

@@ -1,0 +1,151 @@
+"""Parity: batched (landmark x observation) geometry vs the scalar host path.
+
+The engine's rejection cascades (observation filtering lib.rs:2657-2757,
+robustness lib.rs:2907-2934, registration consistency lib.rs:2937-2967) were
+re-designed as batched kernels in ``cv_tpu.sfm.batch_geom`` /
+``cv_tpu.sfm.device_refine``.  These tests pin every batched predicate to the
+scalar ``host_geom``-based implementation on randomized geometry, including
+degenerate rows (padding, behind-camera points, parallel bearings).
+"""
+
+import numpy as np
+import pytest
+
+from cv_tpu.sfm import batch_geom, host_geom, se3
+
+
+def random_pose(rng):
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    r = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    t = rng.normal(size=3) * 0.5
+    return r, t
+
+
+def make_scene(rng, n_landmarks=40, n_views=6):
+    """Random world points observed from random-ish forward cameras."""
+    poses = [random_pose(rng) for _ in range(n_views)]
+    obs_lists = []
+    for _ in range(n_landmarks):
+        k = rng.integers(1, n_views + 1)
+        views = rng.choice(n_views, size=k, replace=False)
+        point = rng.normal(size=3) * 2 + np.array([0, 0, 8.0])
+        obs = []
+        for v in views:
+            r, t = poses[v]
+            cam = r @ point + t
+            b = cam / np.linalg.norm(cam)
+            # a few noisy/bad bearings to hit failure paths
+            if rng.random() < 0.15:
+                b = rng.normal(size=3)
+                b /= np.linalg.norm(b)
+            obs.append((v, b))
+        obs_lists.append(obs)
+    return poses, obs_lists
+
+
+def pack(poses, obs_lists):
+    vp = {v: p for v, p in enumerate(poses)}
+    # view_bearings path expects (view, feature); build per-view tables
+    feats = {v: [] for v in vp}
+    keyed = []
+    for obs in obs_lists:
+        row = []
+        for v, b in obs:
+            feats[v].append(b)
+            row.append((v, len(feats[v]) - 1))
+        keyed.append(row)
+    vb = {v: np.asarray(bl).reshape(-1, 3) for v, bl in feats.items()}
+    return batch_geom.pack_observations(keyed, vp, vb)
+
+
+def test_triangulate_batch_matches_scalar(rng):
+    poses, obs_lists = make_scene(rng)
+    rot, trans, bear, mask, _, _ = pack(poses, obs_lists)
+    pts, ok = batch_geom.triangulate_batch(rot, trans, bear, mask)
+    for i, obs in enumerate(obs_lists):
+        plist = [poses[v] for v, _ in obs]
+        blist = [b for _, b in obs]
+        ref = host_geom.triangulate_observations(plist, blist)
+        assert bool(ok[i]) == (ref is not None), f"row {i}"
+        if ref is not None:
+            np.testing.assert_allclose(pts[i], ref, atol=1e-9)
+
+
+def test_incidence_robust_matches_scalar(rng):
+    poses, obs_lists = make_scene(rng)
+    rot, trans, bear, mask, _, _ = pack(poses, obs_lists)
+    thresh = 0.01
+    for min_obs in (2, 3):
+        got = batch_geom.incidence_robust_batch(rot, bear, mask, thresh, min_obs)
+        for i, obs in enumerate(obs_lists):
+            wb = [poses[v][0].T @ b for v, b in obs]
+            expect = len(obs) >= min_obs and any(
+                1.0 - float(wb[a] @ wb[b]) > thresh
+                for a in range(len(wb))
+                for b in range(a + 1, len(wb))
+            )
+            assert bool(got[i]) == expect, (i, min_obs)
+
+
+def test_epipolar_and_bi_robust_match_scalar(rng):
+    n = 64
+    t = rng.normal(size=(n, 3))
+    a = rng.normal(size=(n, 3))
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    b = rng.normal(size=(n, 3))
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    # exercise the NaN fallback with zero translations on a few rows
+    t[:4] = 0.0
+    got = batch_geom.epipolar_loss_batch(t, a, b)
+    for i in range(n):
+        assert got[i] == pytest.approx(
+            host_geom.epipolar_loss(t[i], a[i], b[i]), abs=1e-12
+        )
+
+
+def test_observation_losses_match_scalar(rng):
+    poses, obs_lists = make_scene(rng)
+    rot, trans, bear, mask, _, _ = pack(poses, obs_lists)
+    losses = batch_geom.observation_losses_batch(rot, trans, bear, mask)
+    for i, obs in enumerate(obs_lists):
+        plist = [poses[v] for v, _ in obs]
+        blist = [b for _, b in obs]
+        if len(obs) == 1:
+            expect = [2.0]
+        elif len(obs) == 2:
+            total = se3.compose(plist[1], se3.inverse(plist[0]))
+            sine = host_geom.epipolar_loss(total[1], total[0] @ blist[0], blist[1])
+            loss = 1.0 - float(np.cos(np.arcsin(min(sine, 1.0))))
+            expect = [loss, loss]
+        else:
+            point = host_geom.triangulate_observations(plist, blist)
+            if point is None:
+                expect = [2.0] * len(obs)
+            else:
+                expect = [
+                    1.0 - float(host_geom.transform_bearing(p, point) @ b)
+                    for p, b in zip(plist, blist)
+                ]
+        np.testing.assert_allclose(losses[i, : len(obs)], expect, atol=1e-9)
+        np.testing.assert_allclose(losses[i, len(obs) :], 2.0)
+
+
+def test_reproject_cosine_matches_transform_bearing(rng):
+    poses, obs_lists = make_scene(rng, n_landmarks=20)
+    rot, trans, bear, mask, _, _ = pack(poses, obs_lists)
+    pts, ok = batch_geom.triangulate_batch(rot, trans, bear, mask)
+    cosd = batch_geom.reproject_cosine_batch(rot, trans, bear, mask, pts)
+    for i, obs in enumerate(obs_lists):
+        if not ok[i]:
+            continue
+        for j, (v, b) in enumerate(obs):
+            expect = 1.0 - float(host_geom.transform_bearing(poses[v], pts[i]) @ b)
+            assert cosd[i, j] == pytest.approx(expect, abs=1e-9)
