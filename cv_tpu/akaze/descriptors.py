@@ -113,6 +113,38 @@ def mldb_tables(pattern_size: int = 10):
     )
 
 
+@lru_cache(maxsize=None)
+def mldb_unique_tables(pattern_size: int = 10):
+    """Deduplicated M-LDB sampling tables.
+
+    The reference samples every (cell, k, l) triple (descriptors.rs:102-177),
+    but the sampled position depends only on (k, l) — and the three grid
+    levels' (k, l) ranges overlap almost entirely (union = 21x21 = 441 unique
+    offsets vs 1241 raw samples).  Sampling each unique offset once and
+    aggregating cells with a static 0/1 membership matrix does 2.8x less
+    selection work with the same per-cell term sets.
+
+    The unique table is (k, l)-lexicographic, which preserves each cell's
+    within-cell accumulation order (cells are (k-major, l-minor) rectangles).
+
+    Returns:
+      uk, ul: (U,) int32 unique sample offsets.
+      member: (n_cells, U) float32 0/1 cell membership.
+      cell_counts: (n_cells,) int32.
+    """
+    samples, cell_counts, _ = mldb_tables(pattern_size)
+    pairs = sorted({(int(k), int(l)) for _, k, l in samples})
+    index = {p: i for i, p in enumerate(pairs)}
+    n_cells = int(cell_counts.shape[0])
+    member = np.zeros((n_cells, len(pairs)), np.float32)
+    for cell, k, l in samples:
+        member[cell, index[(int(k), int(l))]] += 1.0
+    assert member.max() == 1.0  # each cell samples each offset once
+    uk = np.array([p[0] for p in pairs], np.int32)
+    ul = np.array([p[1] for p in pairs], np.int32)
+    return uk, ul, member, cell_counts
+
+
 def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
     """Rust ``f32::round`` semantics (round half away from zero); jnp.round
     is half-to-even, which would disagree on exact .5 samples."""
@@ -155,13 +187,13 @@ def _orientation_from_samples(res_x: jnp.ndarray, res_y: jnp.ndarray) -> jnp.nda
 def _mldb_pack(ri, rx, ry, co, si, pattern_size):
     """Cell means -> rotated channels -> 486 comparisons -> packed words.
 
-    ``ri``/``rx``/``ry``: (K, n_samples) sampled Lt/Lx/Ly values.
+    ``ri``/``rx``/``ry``: (K, U) UNIQUE-position sampled Lt/Lx/Ly values
+    (see :func:`mldb_unique_tables`).
     ``co``/``si``: (K, 1). Returns (K, 16) uint32.
     """
-    samples, cell_counts, comparisons = mldb_tables(pattern_size)
-    cell_id = jnp.asarray(samples[:, 0])
-    n_cells = int(cell_counts.shape[0])
-    onehot = (cell_id[None, :] == jnp.arange(n_cells)[:, None]).astype(ri.dtype)
+    _, _, member, cell_counts = mldb_unique_tables(pattern_size)
+    _, _, comparisons = mldb_tables(pattern_size)
+    onehot = jnp.asarray(member).astype(ri.dtype)  # (29, U)
     inv_counts = (1.0 / cell_counts.astype(np.float32))[None, :]
     di = (ri @ onehot.T) * inv_counts  # (K, 29)
     sx = (rx @ onehot.T) * inv_counts
@@ -187,10 +219,11 @@ def _mldb_pack(ri, rx, ry, co, si, pattern_size):
 
 
 def _mldb_sample_positions(xf, yf, scale, angle, pattern_size):
-    """Rotated grid sample coords: returns (x1, y1) int32 (K, n_samples)."""
-    samples, _, _ = mldb_tables(pattern_size)
-    ks = jnp.asarray(samples[:, 1].astype(np.float32))
-    ls = jnp.asarray(samples[:, 2].astype(np.float32))
+    """Rotated grid sample coords for the UNIQUE offsets: (x1, y1) int32
+    (K, U)."""
+    uk, ul, _, _ = mldb_unique_tables(pattern_size)
+    ks = jnp.asarray(uk.astype(np.float32))
+    ls = jnp.asarray(ul.astype(np.float32))
     co = jnp.cos(angle)[:, None]
     si = jnp.sin(angle)[:, None]
     sc = scale[:, None]
@@ -369,6 +402,22 @@ def _split_bf16x3(x):
     return x1, x2, x3
 
 
+def _row_reduce(oh_row, t, fused):
+    """vals[k, c, n] = sum_h oh_row[k, n, h] * t[k, n, c, h].
+
+    ``fused=False``: dot_general (einsum) — XLA materializes ``t`` in HBM
+    between the two dots.  ``fused=True``: broadcast-multiply + reduce,
+    which XLA can fuse into the producer dot's output so the (chunk, ns, 3,
+    p) intermediate never round-trips HBM.  One-hot row selection is exact
+    under either form (single nonzero term per sum).
+    """
+    if not fused:
+        return jnp.einsum(
+            "knh,knch->kcn", oh_row, t, precision=jax.lax.Precision.HIGHEST
+        )
+    return jnp.sum(oh_row[:, :, None, :] * t, axis=-1).transpose(0, 2, 1)
+
+
 def _onehot_select_rows(oh_col, patch, mode):
     """t[n, c, h] = sum_w oh_col[n, w] * patch[c, h, w] for a keypoint chunk.
 
@@ -430,6 +479,9 @@ def orient_mldb_onehot(
         )
         return words[:k_total], ok[:k_total], angle[:k_total]
 
+    mode, _, rows = mode.partition("+")
+    fused_rows = rows == "fused"
+
     p = 128
     hmax, wmax = planes.shape[2], planes.shape[3]
     y0 = jnp.clip(yf.astype(jnp.int32) - p // 2, 0, hmax - p)
@@ -444,10 +496,10 @@ def orient_mldb_onehot(
     orel_x = jnp.clip(ox - x0[:, None], 0, p - 1)
     orel_y = jnp.clip(oy - y0[:, None], 0, p - 1)
 
-    samples, cell_counts, comparisons = mldb_tables(pattern_size)
-    ks = jnp.asarray(samples[:, 1].astype(np.float32))
-    ls = jnp.asarray(samples[:, 2].astype(np.float32))
-    ns = int(samples.shape[0])
+    uk, ul, _, _ = mldb_unique_tables(pattern_size)
+    ks = jnp.asarray(uk.astype(np.float32))
+    ls = jnp.asarray(ul.astype(np.float32))
+    ns = int(uk.shape[0])
     n_or = int(di.shape[0])
 
     def do_chunk(args):
@@ -464,9 +516,7 @@ def orient_mldb_onehot(
         ohc_o = (iota_o == orx[:, :, None]).astype(jnp.float32)
         ohr_o = (iota_o == ory[:, :, None]).astype(jnp.float32)
         t_o = _onehot_select_rows(ohc_o, patch[:, 1:], mode)  # (chunk, n_or, 2, p)
-        vo = jnp.einsum(
-            "knh,knch->kcn", ohr_o, t_o, precision=jax.lax.Precision.HIGHEST
-        )  # (chunk, 2, n_or)
+        vo = _row_reduce(ohr_o, t_o, fused_rows)  # (chunk, 2, n_or)
         res_x = wt[None, :] * vo[:, 0]
         res_y = wt[None, :] * vo[:, 1]
         angle_c = _orientation_from_samples(res_x, res_y)
@@ -490,9 +540,7 @@ def orient_mldb_onehot(
         oh_col = (iota == rel_x[:, :, None]).astype(jnp.float32)
         oh_row = (iota == rel_y[:, :, None]).astype(jnp.float32)
         t = _onehot_select_rows(oh_col, patch, mode)  # (chunk, ns, 3, p)
-        vals = jnp.einsum(
-            "knh,knch->kcn", oh_row, t, precision=jax.lax.Precision.HIGHEST
-        )  # (chunk, 3, ns)
+        vals = _row_reduce(oh_row, t, fused_rows)  # (chunk, 3, ns)
         words_c = _mldb_pack(
             vals[:, 0], vals[:, 1], vals[:, 2], co, si, pattern_size
         )

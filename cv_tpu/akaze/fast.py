@@ -460,12 +460,15 @@ def padded_plane_stack(planes):
     h, w = planes[0].lt.shape[-2], planes[0].lt.shape[-1]
     hp = max(128, h)
     wp = max(128, w)
-    stack = jnp.zeros((b, n_evo, 3, hp, wp), jnp.float32)
-    for e, p in enumerate(planes):
-        stack = stack.at[:, e, :, : p.lt.shape[-2], : p.lt.shape[-1]].set(
-            jnp.stack([p.lt, p.lx, p.ly], axis=1)
-        )
-    return stack.reshape(b * n_evo, 3, hp, wp)
+    # One fused concatenate of zero-padded per-evolution stacks.  (A chain of
+    # ``stack.at[:, e].set(...)`` writes copied the full 890 MB buffer once
+    # per evolution — measured ~20 ms at B=8; this form writes it once.)
+    padded = []
+    for p in planes:
+        s = jnp.stack([p.lt, p.lx, p.ly], axis=1)  # (B, 3, H_o, W_o)
+        ph, pw_ = hp - s.shape[-2], wp - s.shape[-1]
+        padded.append(jnp.pad(s, ((0, 0), (0, 0), (0, ph), (0, pw_)))[:, None])
+    return jnp.concatenate(padded, axis=1).reshape(b * n_evo, 3, hp, wp)
 
 
 def slot_tables(cfg, specs, k):

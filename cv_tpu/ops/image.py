@@ -80,24 +80,31 @@ def _conv1d(img: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
     pad[axis] = (half, half)
     padded = jnp.pad(img, pad, mode="edge")
     # Accumulate shifted slices * taps. For kernels up to ~71 taps this
-    # unrolls into an fma chain that XLA fuses into one pass.
+    # unrolls into an fma chain that XLA fuses into one pass.  Scaled Scharr
+    # kernels (derivatives.rs:57-79) are mostly zeros — only the two edge
+    # taps (main) or edges+center (off) are nonzero — so zero taps are
+    # skipped statically (x + 0*y == x in f32 up to the sign of zero, which
+    # no downstream comparison observes).
+    taps = np.asarray(kernel)
     n = img.shape[axis]
     out = None
-    for i in range(kernel.shape[0]):
+    for i in range(taps.shape[0]):
+        if taps[i] == 0.0:
+            continue
         sl = jax.lax.slice_in_dim(padded, i, i + n, axis=axis)
-        term = sl * kernel[i]
+        term = sl * float(taps[i])
         out = term if out is None else out + term
     return out
 
 
 def horizontal_filter(img: jnp.ndarray, kernel) -> jnp.ndarray:
     """Filter along x (image.rs:202-251)."""
-    return _conv1d(img, jnp.asarray(kernel, img.dtype), axis=-1)
+    return _conv1d(img, np.asarray(kernel, np.float32), axis=-1)
 
 
 def vertical_filter(img: jnp.ndarray, kernel) -> jnp.ndarray:
     """Filter along y (image.rs:253-331)."""
-    return _conv1d(img, jnp.asarray(kernel, img.dtype), axis=-2)
+    return _conv1d(img, np.asarray(kernel, np.float32), axis=-2)
 
 
 def separable_filter(img: jnp.ndarray, h_kernel, v_kernel) -> jnp.ndarray:
