@@ -120,7 +120,12 @@ class TestSelfGoldens:
         assert len(kp0["response"]) == 3425
         assert len(kp14["response"]) == 2908
         assert int(np.asarray(w0, np.uint64).sum() % 2**31) == 31033516
-        assert int(np.asarray(w14, np.uint64).sum() % 2**31) == 113943114
+        # Word checksums are sensitive to XLA reduction order on near-tie
+        # cell-mean comparisons: the unique-441 sampling rewrite flipped ONE
+        # near-tie bit (delta 2^8) in one frame-14 descriptor. Re-pinned;
+        # order-independent anchoring is the oracle harness's job
+        # (tests/test_oracle.py).
+        assert int(np.asarray(w14, np.uint64).sum() % 2**31) == 113943370
 
     def test_nonstandard_image_size(self, rng):
         # A size that exercises different octave shapes / odd dims.
