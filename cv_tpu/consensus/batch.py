@@ -82,19 +82,37 @@ class BatchConsensus:
 
     @partial(jax.jit, static_argnames=("self", "estimator"))
     def _score_stage(self, estimator, models, data, valid_row):
-        """Score every candidate model against every data row and argmax
-        inlier counts: returns (best model, inlier mask, inlier count)."""
+        """Score every candidate model against every data row and pick the
+        lexicographic best: max inlier count, ties broken by least total
+        inlier residual.  Plain count-argmax is fragile when several motions
+        tie (the tie went to whichever hypothesis the sampler drew first);
+        the residual tie-break selects the geometrically tightest model, the
+        same model ARRSAC's refinement ladder converges to
+        (vslam-sandbox/src/main.rs:105-117).  Returns
+        ``(best model, inlier mask, inlier count, score)``."""
         leaves = jax.tree_util.tree_leaves(data)
         n = leaves[0].shape[0]
         res = estimator.residual(models, data)  # (H, M, N)
         inliers = (res < self.threshold) & valid_row & jnp.isfinite(res)
         counts = jnp.sum(inliers, axis=-1)  # (H, M)
-        flat_counts = counts.reshape(-1)
-        best = jnp.argmax(flat_counts)
+        # Total inlier residual is < counts * threshold, so dividing by
+        # (n + 1) * threshold keeps the tie-break term strictly inside one
+        # count step: score orders by (count, -total inlier residual).
+        total = jnp.sum(jnp.where(inliers, res, 0.0), axis=-1)
+        score = counts.astype(jnp.float32) - (
+            total / ((n + 1) * self.threshold)
+        ).astype(jnp.float32)
+        flat_score = score.reshape(-1)
+        best = jnp.argmax(flat_score)
         best_model = jax.tree_util.tree_map(
             lambda x: x.reshape((-1,) + x.shape[2:])[best], models
         )
-        return best_model, inliers.reshape((-1, n))[best], flat_counts[best]
+        return (
+            best_model,
+            inliers.reshape((-1, n))[best],
+            counts.reshape(-1)[best],
+            flat_score[best],
+        )
 
     def model_inliers(self, key, estimator: Estimator, data, n_valid=None):
         """Find the best model and its inlier mask.
@@ -125,7 +143,9 @@ class BatchConsensus:
 
         # The first round consumes ``key`` itself so refit_rounds=0 draws
         # exactly the same minimal sets as the plain single-round version.
-        best_model, best_mask, best_count = run_round(key, self.hypotheses, valid_row)
+        best_model, best_mask, best_count, best_score = run_round(
+            key, self.hypotheses, valid_row
+        )
 
         for r in range(self.refit_rounds):
             sub = jax.random.fold_in(key, r + 1)
@@ -133,14 +153,15 @@ class BatchConsensus:
             # set; otherwise fall back to all valid rows (no-op round).
             enough = best_count >= m
             sample_mask = jnp.where(enough, best_mask & valid_row, valid_row)
-            model_r, mask_r, count_r = run_round(
+            model_r, mask_r, count_r, score_r = run_round(
                 sub, self.refit_hypotheses, sample_mask
             )
-            take = count_r > best_count
+            take = score_r > best_score
             best_model = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(take, new, old), model_r, best_model
             )
             best_mask = jnp.where(take, mask_r, best_mask)
             best_count = jnp.where(take, count_r, best_count)
+            best_score = jnp.where(take, score_r, best_score)
 
         return best_model, best_mask, best_count

@@ -21,6 +21,10 @@ import numpy as np
 
 DESCRIPTOR_BITS = 486
 DESCRIPTOR_WORDS = 16
+# Distance sentinel for masked/padded rows: any value > DESCRIPTOR_BITS
+# (the maximum possible Hamming distance) can never win a nearest-neighbor
+# comparison or pass a margin test against a real distance.
+PAD_DISTANCE = 10_000
 
 
 def distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -116,7 +120,7 @@ def symmetric_matches(
     if n_valid_a is not None:
         va = jnp.arange(a_words.shape[0]) < n_valid_a
         vb = jnp.arange(b_words.shape[0]) < n_valid_b
-        dist = jnp.where(va[:, None] & vb[None, :], dist, 10_000)
+        dist = jnp.where(va[:, None] & vb[None, :], dist, PAD_DISTANCE)
     fwd_idx, fwd_ok = _best2_margin(dist, better_by)
     rev_idx, rev_ok = _best2_margin(dist.T, better_by)
     mutual = rev_idx[fwd_idx] == jnp.arange(a_words.shape[0])

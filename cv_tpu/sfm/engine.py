@@ -31,7 +31,7 @@ from ..camera import CameraIntrinsics, CameraIntrinsicsK1Distortion
 from ..consensus import BatchConsensus, Estimator
 from ..core import Isometry3, camera_to_camera_residual, world_to_camera_residual
 from ..core import smallmat
-from ..matching.hamming import distance_matrix
+from ..matching.hamming import PAD_DISTANCE, distance_matrix
 from ..optimize import (
     single_view_simple_optimize_l2,
     three_view_adaptive_optimize_l2,
@@ -58,7 +58,16 @@ def _pose_to_device(p):
 
 
 def _pose_from_device(p: Isometry3):
-    return (np.asarray(p.rotation, np.float64), np.asarray(p.translation, np.float64))
+    r, t = jax.device_get((p.rotation, p.translation))
+    return (np.asarray(r, np.float64), np.asarray(t, np.float64))
+
+
+def _fetch(*arrays):
+    """One tunnel round trip for several device arrays: ``device_get``
+    issues ``copy_to_host_async`` on every leaf before blocking, so N leaves
+    cost ~one ~40 ms remote-device latency instead of N (the sequential
+    ``np.asarray`` chain this replaces)."""
+    return jax.device_get(arrays)
 
 
 def _calibrate_host(intrinsics, pts: np.ndarray) -> np.ndarray:
@@ -392,8 +401,8 @@ class VSlam:
             n_valid_a=jnp.int32(na),
             n_valid_b=jnp.int32(nb),
         )
-        keep = np.asarray(keep)[:na]
-        idx = np.asarray(idx)
+        keep, idx = _fetch(keep, idx)
+        keep = keep[:na]
         ai = np.nonzero(keep)[0]
         return [[int(i), int(idx[i])] for i in ai]
 
@@ -402,7 +411,9 @@ class VSlam:
     def _jit_knn(queries, words, n_valid, k):
         """k-NN distances over bucket-padded descriptor arrays."""
         d = distance_matrix(queries, words)
-        d = jnp.where(jnp.arange(words.shape[0])[None, :] < n_valid, d, 10_000)
+        d = jnp.where(
+            jnp.arange(words.shape[0])[None, :] < n_valid, d, PAD_DISTANCE
+        )
         return jax.lax.top_k(-d, k)
 
     @staticmethod
@@ -435,6 +446,9 @@ class VSlam:
             (jnp.asarray(bear_a), jnp.asarray(bear_b)),
             n_valid=jnp.int32(n),
         )
+        count, mask, rot_h, t_h = _fetch(
+            count, mask, model.rotation, model.translation
+        )
         if int(count) < self.settings.two_view_minimum_robust_matches:
             log.info(
                 "two-view inliers %d < %d; rejecting",
@@ -442,8 +456,8 @@ class VSlam:
                 self.settings.two_view_minimum_robust_matches,
             )
             return None
-        mask = np.asarray(mask)[:n]
-        pose = _pose_from_device(model)
+        mask = mask[:n]
+        pose = (np.asarray(rot_h, np.float64), np.asarray(t_h, np.float64))
         inlier_matches = [m for m, ok in zip(matches, mask) if ok]
         return pose, inlier_matches
 
@@ -580,7 +594,13 @@ class VSlam:
                     0.001,
                     settings.three_view_patience,
                 )
-                return _pose_from_device(o1), _pose_from_device(o2)
+                r1, t1, r2, t2 = _fetch(
+                    o1.rotation, o1.translation, o2.rotation, o2.translation
+                )
+                return (
+                    (np.asarray(r1, np.float64), np.asarray(t1, np.float64)),
+                    (np.asarray(r2, np.float64), np.asarray(t2, np.float64)),
+                )
 
             failed = False
             for _ in range(settings.three_view_filter_loop_iterations):
@@ -866,7 +886,9 @@ class VSlam:
             )
             wq[:nq] = new_frame.descriptors[feat_range]
             self_desc = jnp.asarray(wq)
-            per_view = []
+            # Dispatch every view's k-NN program first (async), then fetch
+            # all results in ONE round trip.
+            pending = []
             for view_match in view_matches:
                 vframe = self.data.frames[rec.views[view_match].frame]
                 nv = len(vframe)
@@ -879,9 +901,12 @@ class VSlam:
                 neg, idx = self._jit_knn(
                     self_desc, jnp.asarray(wv), jnp.int32(nv), k
                 )
-                per_view.append(
-                    (view_match, np.asarray(idx)[:nq], np.asarray(-neg)[:nq])
-                )
+                pending.append((view_match, neg, idx))
+            fetched = jax.device_get([(p[1], p[2]) for p in pending])
+            per_view = [
+                (vm, idx[:nq], -neg[:nq])
+                for (vm, _, _), (neg, idx) in zip(pending, fetched)
+            ]
             for row, self_feature in enumerate(feat_range):
                 landmark_best = {}
                 for view_match, idx, dist in per_view:
@@ -1131,10 +1156,14 @@ class VSlam:
             (jnp.asarray(bear), jnp.asarray(wp)),
             n_valid=jnp.int32(n),
         )
+        count, mask, rot_h, t_h = _fetch(
+            count, mask, model.rotation, model.translation
+        )
         if int(count) == 0:
             log.info("single-view consensus found no model")
             return None, None
-        return _pose_from_device(model), np.asarray(mask)[:n]
+        pose = (np.asarray(rot_h, np.float64), np.asarray(t_h, np.float64))
+        return pose, mask[:n]
 
     # -- incorporation (lib.rs:2067-2113) -----------------------------------------
     def incorporate_frame(self, reconstruction, frame, view_matches):
@@ -1447,7 +1476,7 @@ class VSlam:
             iterations=self.settings.optimization_iterations,
             rate=self.settings.graph_optimization_rate,
         )
-        removed = np.asarray(removed)
+        removed, out_rot, out_trans = _fetch(removed, out_rot, out_trans)
         out_rot = np.asarray(out_rot, np.float64)
         out_trans = np.asarray(out_trans, np.float64)
         updated = 0

@@ -169,7 +169,11 @@ def save_npz(data, path):
     out["con_poses"] = (
         np.stack(con_poses) if con_poses else np.zeros((0, 24))
     )
-    np.savez_compressed(path, **out)
+    # np.savez appends ".npz" to bare string paths; the CLI contract is the
+    # exact user-given filename (vslam-sandbox/src/main.rs:166-175 writes
+    # `vslam.cvr` verbatim), so hand it an open file object instead.
+    with open(path, "wb") as fh:
+        np.savez_compressed(fh, **out)
 
 
 def load_npz(path):
