@@ -60,6 +60,7 @@ def __getattr__(name):
         "triangulate",
         "apps",
         "utils",
+        "video",
     ):
         return importlib.import_module(f".{name}", __name__)
     raise AttributeError(name)

@@ -740,6 +740,7 @@ class DeviceExtractor:
         dedup_scan_cap: int = 1024,
         topk_method: str = "compact",
         onehot_mode: str = "highest",
+        pallas_fed: bool = False,
     ):
         self.config = config or Akaze()
         self.candidate_budget = candidate_budget
@@ -759,6 +760,9 @@ class DeviceExtractor:
         # 68 ms; the manual split also loses bit-exactness to split-term
         # re-addition rounding) or 'bf16x3' (kept for experiments).
         self.onehot_mode = onehot_mode
+        # Fused Pallas FED chains (akaze/pallas_scale.py); off until the
+        # TPU timing + golden gate land (tests prove CPU bit-exactness).
+        self.pallas_fed = pallas_fed
         from .extract import AkazeExtractor
 
         self._helper = AkazeExtractor(self.config)
@@ -770,7 +774,7 @@ class DeviceExtractor:
         cfg = self.config
         b, h, w = images.shape
         specs = self._helper.specs(h, w)
-        planes = build_scale_space(cfg, specs, images)
+        planes = build_scale_space(cfg, specs, images, pallas_fed=self.pallas_fed)
         k = self.candidate_budget
         cand = stage_candidates(cfg, specs, planes, k, self.topk_method)
         cand = stage_dedup(cand, k, self.dedup_scan_cap)
@@ -789,15 +793,5 @@ class DeviceExtractor:
         valid = fs.valid[0]
         cw = jnp.asarray(lsh.codewords())
         d = lsh.distance_matrix(words, cw)
-        nearest = jnp.argmin(d, axis=-1)
-        # Invalid rows vote out-of-range and are dropped by the scatter.
-        nearest = jnp.where(valid, nearest, lsh.SKETCH_BITS)
-        votes = (
-            jnp.zeros((lsh.SKETCH_BITS,), jnp.uint32)
-            .at[nearest]
-            .set(1, mode="drop")
-        )
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bits = votes.reshape(lsh.SKETCH_WORDS, 32)
-        sketch = jnp.sum(bits << shifts[None, :], axis=-1, dtype=jnp.uint32)
+        sketch = lsh.sketch_from_distances(d, valid)
         return fs, sketch

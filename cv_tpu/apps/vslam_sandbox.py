@@ -32,6 +32,19 @@ def build_parser():
     p.add_argument("--radial-distortion", type=float, default=-0.28052513)
     p.add_argument("--no-camera-faces", action="store_true")
     p.add_argument("-o", "--output", type=Path, default=None)
+    p.add_argument(
+        "--video",
+        type=Path,
+        default=None,
+        help="decode frames from a video file instead of image paths "
+        "(cv_tpu.video.VideoFileSource)",
+    )
+    p.add_argument(
+        "--video-step", type=int, default=1, help="use every Nth video frame"
+    )
+    p.add_argument(
+        "--video-limit", type=int, default=None, help="cap decoded video frames"
+    )
     p.add_argument("images", nargs="*", type=Path)
     return p
 
@@ -92,11 +105,28 @@ def main(argv=None):
     feed = vslam.add_feed(intrinsics)
 
     normalized = set()
-    # Native prefetching loader: decode overlaps device compute.
-    loader = PrefetchLoader(opt.images, threads=4)
-    for i, frame_path in enumerate(opt.images):
-        logging.info("loading image %s", frame_path)
-        image = loader.get(i)
+    if opt.video is not None:
+        # Decode frames from a video container (cv_tpu.video).
+        from ..video import VideoFileSource
+
+        frames_iter = enumerate(
+            VideoFileSource(opt.video, step=opt.video_step, limit=opt.video_limit)
+        )
+
+        def get_image(i, item):
+            logging.info("video frame %d", i)
+            return item
+    else:
+        # Native prefetching loader: decode overlaps device compute.
+        loader = PrefetchLoader(opt.images, threads=4)
+        frames_iter = enumerate(opt.images)
+
+        def get_image(i, item):
+            logging.info("loading image %s", item)
+            return loader.get(i)
+
+    for i, item in frames_iter:
+        image = get_image(i, item)
         frame = vslam.add_frame(feed, image)
         view = vslam.data.frames[frame].view
         if view is not None:
