@@ -481,8 +481,39 @@ def stages_main(batch_size=BATCH):
     )
 
 
+def filters_main():
+    """Per-filter micro-bench: horizontal/vertical separable filters at
+    kernel sizes 7 and 71 on the KITTI frame — the analog of the
+    reference's criterion filter benches (akaze/benches/criterion.rs:25-52,
+    which measure the same two kernel sizes on the same image)."""
+    from cv_tpu.ops import image as ops
+
+    img = jnp.asarray(to_gray_f32(load_gray("/root/reference/res/0000000000.png")))
+    timings = {}
+    for size in (7, 71):
+        kernel = ops.gaussian_kernel(size / 4.0, size)
+        for name, fn in (
+            ("horizontal", ops.horizontal_filter),
+            ("vertical", ops.vertical_filter),
+        ):
+            j = jax.jit(lambda x, fn=fn, kernel=kernel: fn(x, kernel))
+            timings[f"{name}_k{size}"], _ = _time_jit(j, img)
+    for name, ms in timings.items():
+        print(f"{name:>16}: {ms:8.3f} ms")
+    print(
+        json.dumps(
+            {
+                "metric": "akaze_filter_ms",
+                "filters": {n: round(v, 3) for n, v in timings.items()},
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if "--stages" in sys.argv:
+    if "--filters" in sys.argv:
+        filters_main()
+    elif "--stages" in sys.argv:
         bs = BATCH
         for a in sys.argv[1:]:
             if a.isdigit():

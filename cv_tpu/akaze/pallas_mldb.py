@@ -1,0 +1,162 @@
+"""Pallas patch-sample selection for orientation + M-LDB descriptors.
+
+Replaces the XLA two-dot one-hot selection (descriptors.orient_mldb_onehot)
+whose middle tensor ``(chunk, ns, C, 128)`` round-trips HBM (~87 MB per
+128-keypoint chunk) and whose second contraction is an MXU-hostile batched
+(M=C, K=128, N=1) dot.  Here both contractions fuse in VMEM:
+
+  t[s, w]  = sum_h onehot_row[s, h] * patch[c, h, w]     (MXU, bf16x3 exact)
+  v[c, s]  = sum_w (w == rel_x[s]) ? t[s, w] : 0          (VPU masked reduce)
+
+The bf16x3 split is bit-exact: a one-hot row has a single nonzero, so each
+pass selects one bf16 split term exactly and the f32 sum of the three terms
+reconstructs the f32 sample (see descriptors._split_bf16x3).
+
+Two grid layouts:
+
+* ``select_samples``: ``(K/8, 8)`` — one keypoint per grid step (the rel
+  tables ride in 8-row blocks; the kernel picks its row by
+  ``program_id(1)``).
+* ``select_samples_batched``: ``(K/8,)`` — 8 keypoints per grid step with
+  an in-kernel loop, amortizing per-step overhead 8x (the suspected cause
+  of the per-keypoint variants' 10-15% MXU utilization).
+
+Workload reference: ``/root/reference/akaze/src/descriptors.rs:102-202`` and
+``scale_space_extrema.rs:229-288`` (the per-keypoint rotated sampling loops).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+P = 128  # patch side
+G = 8  # keypoints per rel-table block (sublane tile)
+
+
+def _select_kernel(relx_ref, rely_ref, patch_ref, out_ref, *, c, ns):
+    j = pl.program_id(1)
+    rx = relx_ref[j]  # (ns,) i32
+    ry = rely_ref[j]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, P), 1)
+    ohr = (iota == ry[:, None]).astype(jnp.bfloat16)  # (ns, P) row select
+    colmask = iota == rx[:, None]  # (ns, P) col select
+    for ch in range(c):
+        p = patch_ref[0, ch]  # (P, P) f32
+        p1 = p.astype(jnp.bfloat16)
+        r1 = p - p1.astype(jnp.float32)
+        p2 = r1.astype(jnp.bfloat16)
+        p3 = (r1 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
+        t = None
+        for ps in (p1, p2, p3):
+            ti = jax.lax.dot_general(
+                ohr,
+                ps,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (ns, P): t[s, w] = patch[rel_y[s], w]
+            t = ti if t is None else t + ti
+        v = jnp.sum(jnp.where(colmask, t, 0.0), axis=1)  # (ns,)
+        out_ref[0, ch] = v
+
+
+def _select_kernel_batched(relx_ref, rely_ref, patch_ref, out_ref, *, c, ns, g):
+    """G keypoints per grid step: one rel-table block load, G x C x 3
+    back-to-back matmuls amortize the per-step overhead that throttled the
+    one-keypoint-per-step variant (512 grid steps instead of 4096)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, P), 1)
+    for j in range(g):
+        rx = relx_ref[j]
+        ry = rely_ref[j]
+        ohr = (iota == ry[:, None]).astype(jnp.bfloat16)
+        colmask = iota == rx[:, None]
+        for ch in range(c):
+            p = patch_ref[j, ch]  # (P, P) f32
+            p1 = p.astype(jnp.bfloat16)
+            r1 = p - p1.astype(jnp.float32)
+            p2 = r1.astype(jnp.bfloat16)
+            p3 = (r1 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
+            t = None
+            for ps in (p1, p2, p3):
+                ti = jax.lax.dot_general(
+                    ohr,
+                    ps,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                t = ti if t is None else t + ti
+            out_ref[j, ch] = jnp.sum(jnp.where(colmask, t, 0.0), axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def select_samples_batched(
+    patches: jnp.ndarray,  # (K, C, P, P) f32
+    rel_x: jnp.ndarray,  # (K, NS) i32 in [0, P)
+    rel_y: jnp.ndarray,  # (K, NS) i32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """vals[k, c, s] = patches[k, c, rel_y[k, s], rel_x[k, s]] with G=8
+    keypoints per grid step (see _select_kernel_batched)."""
+    k, c, p, p2 = patches.shape
+    assert p == P and p2 == P, (p, p2)
+    ns = rel_x.shape[1]
+    assert ns % 128 == 0, ns
+    assert k % G == 0, (k, G)
+    interpret = interpret or jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        partial(_select_kernel_batched, c=c, ns=ns, g=G),
+        grid=(k // G,),
+        in_specs=[
+            pl.BlockSpec((G, ns), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, ns), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (G, c, P, P), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (G, c, ns), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, c, ns), jnp.float32),
+        interpret=interpret,
+    )(rel_x, rel_y, patches)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def select_samples(
+    patches: jnp.ndarray,  # (K, C, P, P) f32
+    rel_x: jnp.ndarray,  # (K, NS) i32 in [0, P)
+    rel_y: jnp.ndarray,  # (K, NS) i32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """vals[k, c, s] = patches[k, c, rel_y[k, s], rel_x[k, s]].
+
+    ``K`` must be a multiple of 8; ``NS`` a multiple of 128.
+    """
+    k, c, p, p2 = patches.shape
+    assert p == P and p2 == P, (p, p2)
+    ns = rel_x.shape[1]
+    assert ns % 128 == 0, ns
+    assert k % G == 0, (k, G)
+    interpret = interpret or jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        partial(_select_kernel, c=c, ns=ns),
+        grid=(k // G, G),
+        in_specs=[
+            pl.BlockSpec((G, ns), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, ns), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, c, P, P),
+                lambda i, j: (i * G + j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, ns), lambda i, j: (i * G + j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, c, ns), jnp.float32),
+        interpret=interpret,
+    )(rel_x, rel_y, patches)

@@ -97,10 +97,18 @@ def compute_contrast_factor(
 
 
 def build_scale_space(
-    config: Akaze, specs: list[EvolutionSpec], image: jnp.ndarray
+    config: Akaze,
+    specs: list[EvolutionSpec],
+    image: jnp.ndarray,
+    pallas_fed: bool = False,
 ) -> list[EvolutionPlanes]:
     """Build all evolutions and their detector responses for a batch of
-    frames (lib.rs:193-258 + detector_response.rs)."""
+    frames (lib.rs:193-258 + detector_response.rs).
+
+    ``pallas_fed`` runs each evolution's FED tau chain as one fused Pallas
+    kernel (akaze/pallas_scale.py): one HBM round trip per evolution
+    instead of one per step.  Bit-exact vs the jitted sequential path
+    (tests/test_pallas_scale.py)."""
     contrast0 = compute_contrast_factor(
         image, config.contrast_percentile, 1.0, config.contrast_factor_num_bins
     )
@@ -119,8 +127,15 @@ def build_scale_space(
         lx = ops.scharr_horizontal(lsmooth, 1)
         ly = ops.scharr_vertical(lsmooth, 1)
         flow = ops.pm_g2(lx, ly, contrast)
-        for tau in specs[i].fed_tau_steps:
-            lt = ops.fed_step(lt, flow, jnp.float32(tau))
+        if pallas_fed:
+            from .pallas_scale import fed_chain
+
+            lt = fed_chain(
+                lt, flow, tuple(float(t) for t in specs[i].fed_tau_steps)
+            )
+        else:
+            for tau in specs[i].fed_tau_steps:
+                lt = ops.fed_step(lt, flow, jnp.float32(tau))
         lts.append(lt)
         lsmooths.append(lsmooth)
 

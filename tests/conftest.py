@@ -19,6 +19,10 @@ import jax
 # authoritative (verified: env var alone still selects the TPU).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the KITTI-shape extractor programs take minutes
+# to build on CPU; cache them across test processes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/cv_tpu_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np
 import pytest
