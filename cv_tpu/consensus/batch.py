@@ -88,30 +88,38 @@ class BatchConsensus:
         tie (the tie went to whichever hypothesis the sampler drew first);
         the residual tie-break selects the geometrically tightest model, the
         same model ARRSAC's refinement ladder converges to
-        (vslam-sandbox/src/main.rs:105-117).  Returns
-        ``(best model, inlier mask, inlier count, score)``."""
+        (vslam-sandbox/src/main.rs:105-117).
+
+        The ordering is computed as a true two-stage lexicographic argmax
+        (argmin of total over the models at max count), NOT as a combined
+        float score: folding the tie-break into ``count - scaled_total``
+        quantizes away totals below the count's ULP (~3e-5 at count 400 in
+        f32), which degraded the pick to "first model with a small-enough
+        total" and measurably broke three-view bootstrapping on exact
+        synthetic scenes where dozens of near-perfect models tie at full
+        count (totals 1e-15..1e-7) and only the genuine minimum is reliably
+        the true motion.  Returns ``(best model, inlier mask, inlier count,
+        total inlier residual)``."""
         leaves = jax.tree_util.tree_leaves(data)
         n = leaves[0].shape[0]
         res = estimator.residual(models, data)  # (H, M, N)
         inliers = (res < self.threshold) & valid_row & jnp.isfinite(res)
         counts = jnp.sum(inliers, axis=-1)  # (H, M)
-        # Total inlier residual is < counts * threshold, so dividing by
-        # (n + 1) * threshold keeps the tie-break term strictly inside one
-        # count step: score orders by (count, -total inlier residual).
         total = jnp.sum(jnp.where(inliers, res, 0.0), axis=-1)
-        score = counts.astype(jnp.float32) - (
-            total / ((n + 1) * self.threshold)
-        ).astype(jnp.float32)
-        flat_score = score.reshape(-1)
-        best = jnp.argmax(flat_score)
+        flat_counts = counts.reshape(-1)
+        flat_total = total.reshape(-1)
+        at_max = flat_counts == jnp.max(flat_counts)
+        # argmin picks the first index among equal totals, preserving the
+        # deterministic first-drawn order for exact ties.
+        best = jnp.argmin(jnp.where(at_max, flat_total, jnp.inf))
         best_model = jax.tree_util.tree_map(
             lambda x: x.reshape((-1,) + x.shape[2:])[best], models
         )
         return (
             best_model,
             inliers.reshape((-1, n))[best],
-            counts.reshape(-1)[best],
-            flat_score[best],
+            flat_counts[best],
+            flat_total[best],
         )
 
     def model_inliers(self, key, estimator: Estimator, data, n_valid=None):
@@ -143,7 +151,7 @@ class BatchConsensus:
 
         # The first round consumes ``key`` itself so refit_rounds=0 draws
         # exactly the same minimal sets as the plain single-round version.
-        best_model, best_mask, best_count, best_score = run_round(
+        best_model, best_mask, best_count, best_total = run_round(
             key, self.hypotheses, valid_row
         )
 
@@ -153,15 +161,19 @@ class BatchConsensus:
             # set; otherwise fall back to all valid rows (no-op round).
             enough = best_count >= m
             sample_mask = jnp.where(enough, best_mask & valid_row, valid_row)
-            model_r, mask_r, count_r, score_r = run_round(
+            model_r, mask_r, count_r, total_r = run_round(
                 sub, self.refit_hypotheses, sample_mask
             )
-            take = score_r > best_score
+            # Same lexicographic order as _score_stage: count first, then
+            # least total inlier residual; exact ties keep the incumbent.
+            take = (count_r > best_count) | (
+                (count_r == best_count) & (total_r < best_total)
+            )
             best_model = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(take, new, old), model_r, best_model
             )
             best_mask = jnp.where(take, mask_r, best_mask)
             best_count = jnp.where(take, count_r, best_count)
-            best_score = jnp.where(take, score_r, best_score)
+            best_total = jnp.where(take, total_r, best_total)
 
         return best_model, best_mask, best_count
