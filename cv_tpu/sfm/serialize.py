@@ -20,6 +20,7 @@ FORMAT_VERSION = 1
 
 _KIND_K1 = 0  # CameraIntrinsicsK1Distortion over CameraIntrinsics
 _KIND_PLAIN = 1  # CameraIntrinsics
+_KIND_NONE = 2  # bearings-only feed (no camera model attached)
 
 
 def _offsets(lists):
@@ -32,6 +33,10 @@ def _offsets(lists):
 def _intrinsics_row(intrinsics):
     from ..camera import CameraIntrinsics, CameraIntrinsicsK1Distortion
 
+    if intrinsics is None:
+        # Bearings-only feeds (features added via add_frame_features) have
+        # no camera model; the checkpoint stores the absence.
+        return _KIND_NONE, [0.0] * 6
     if isinstance(intrinsics, CameraIntrinsicsK1Distortion):
         si = intrinsics.simple_intrinsics
         kind = _KIND_K1
@@ -53,6 +58,8 @@ def _intrinsics_row(intrinsics):
 def _intrinsics_from_row(kind, row):
     from ..camera import CameraIntrinsics, CameraIntrinsicsK1Distortion
 
+    if kind == _KIND_NONE:
+        return None
     si = CameraIntrinsics.from_values(row[0], row[1], row[2], row[3], skew=row[4])
     if kind == _KIND_K1:
         return CameraIntrinsicsK1Distortion.new(si, row[5])
