@@ -204,13 +204,24 @@ class VSlam:
         self.settings = settings or VSlamSettings()
         self.rng = np.random.default_rng(seed)
         self._key = jax.random.key(seed)
+        # One inlier-refit round by default: at EQUAL total hypothesis
+        # budget it cut median rotation error ~40% (3.5e-3 -> 2.0e-3 rad)
+        # with recall 1.000 vs 0.995 on noisy 40%-outlier synthetic scenes
+        # (experiments/exp_refit.py) — the batched stand-in for ARRSAC's
+        # refinement ladder, which the reference engine always runs
+        # (vslam-sandbox/src/main.rs:105-117).  Cost: 2 extra XLA dispatches
+        # per consensus call.
         self.single_view_consensus = single_view_consensus or BatchConsensus(
             threshold=self.settings.single_view_consensus_threshold,
             hypotheses=single_view_hypotheses,
+            refit_rounds=1,
+            refit_hypotheses=256,
         )
         self.two_view_consensus = two_view_consensus or BatchConsensus(
             threshold=self.settings.two_view_consensus_threshold,
             hypotheses=two_view_hypotheses,
+            refit_rounds=1,
+            refit_hypotheses=256,
         )
         self.triangulator = triangulator or host_geom.triangulate_observations
         self._extractor = extractor_cls(

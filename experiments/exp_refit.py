@@ -23,7 +23,7 @@ from cv_tpu.core import CameraToCamera, Isometry3, camera_to_camera_residual, li
 from cv_tpu.solvers import eight_point
 
 
-def make_problem(rng, n=256, outlier_frac=0.4, noise=2e-4):
+def make_problem(rng, n=128, outlier_frac=0.4, noise=2e-4):
     rot = lie.so3_exp(jnp.asarray(rng.normal(size=3) * 0.15))
     t = jnp.asarray(rng.normal(size=3))
     pose = CameraToCamera.from_parts(t, rot)
@@ -60,7 +60,7 @@ EST = Estimator(
 )
 
 
-def run(configs, n_problems=40, threshold=1e-6):
+def run(configs, n_problems=16, threshold=1e-6):
     rng = np.random.default_rng(0)
     problems = [make_problem(rng) for _ in range(n_problems)]
     for label, kwargs in configs:
@@ -81,6 +81,7 @@ def run(configs, n_problems=40, threshold=1e-6):
             rot_errs.append(re); t_errs.append(t_err)
             recalls.append((mask & true_in).sum() / true_in.sum())
             precisions.append((mask & true_in).sum() / max(mask.sum(), 1))
+        sys.stdout.flush()
         print(
             f"{label:26s} rot_err med {np.median(rot_errs):.2e} "
             f"t_err med {np.median(t_errs):.2e} "
@@ -89,12 +90,13 @@ def run(configs, n_problems=40, threshold=1e-6):
 
 
 if __name__ == "__main__":
+    # CPU-sized budgets (the structure comparison, not absolute accuracy;
+    # equal total hypothesis budget between plain and refit variants).
     run(
         [
-            ("plain-2048", dict(hypotheses=2048)),
-            ("refit1-1792+256", dict(hypotheses=1792, refit_rounds=1, refit_hypotheses=256)),
-            ("refit2-1536+2x256", dict(hypotheses=1536, refit_rounds=2, refit_hypotheses=256)),
-            ("plain-4096", dict(hypotheses=4096)),
-            ("refit2-4096+2x1024", dict(hypotheses=4096, refit_rounds=2, refit_hypotheses=1024)),
+            ("plain-512", dict(hypotheses=512)),
+            ("refit1-384+128", dict(hypotheses=384, refit_rounds=1, refit_hypotheses=128)),
+            ("refit2-256+2x128", dict(hypotheses=256, refit_rounds=2, refit_hypotheses=128)),
+            ("refit2-512+2x128", dict(hypotheses=512, refit_rounds=2, refit_hypotheses=128)),
         ]
     )
