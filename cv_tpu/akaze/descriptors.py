@@ -481,6 +481,20 @@ def orient_mldb_onehot(
 
     mode, _, rows = mode.partition("+")
     fused_rows = rows == "fused"
+    use_pallas = mode == "pallas"
+    if use_pallas:
+        from . import pallas_mldb
+
+        def _pallas_select(patch, rel_x, rel_y):
+            """(chunk, C, p, p) x (chunk, ns) -> (chunk, C, ns) via the
+            keypoint-batched Pallas kernel; pads ns to a lane multiple."""
+            ns_in = rel_x.shape[1]
+            ns_pad = (-ns_in) % 128
+            if ns_pad:
+                rel_x = jnp.pad(rel_x, ((0, 0), (0, ns_pad)))
+                rel_y = jnp.pad(rel_y, ((0, 0), (0, ns_pad)))
+            vals = pallas_mldb.select_samples_batched(patch, rel_x, rel_y)
+            return vals[:, :, :ns_in]
 
     p = 128
     hmax, wmax = planes.shape[2], planes.shape[3]
@@ -512,11 +526,14 @@ def orient_mldb_onehot(
         patch = jax.vmap(slice_one)(lvl_c, y0_c, x0_c)  # (chunk, 3, p, p)
 
         # --- orientation from the same patch ---
-        iota_o = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_or, p), 2)
-        ohc_o = (iota_o == orx[:, :, None]).astype(jnp.float32)
-        ohr_o = (iota_o == ory[:, :, None]).astype(jnp.float32)
-        t_o = _onehot_select_rows(ohc_o, patch[:, 1:], mode)  # (chunk, n_or, 2, p)
-        vo = _row_reduce(ohr_o, t_o, fused_rows)  # (chunk, 2, n_or)
+        if use_pallas:
+            vo = _pallas_select(patch[:, 1:], orx, ory)  # (chunk, 2, n_or)
+        else:
+            iota_o = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_or, p), 2)
+            ohc_o = (iota_o == orx[:, :, None]).astype(jnp.float32)
+            ohr_o = (iota_o == ory[:, :, None]).astype(jnp.float32)
+            t_o = _onehot_select_rows(ohc_o, patch[:, 1:], mode)  # (chunk, n_or, 2, p)
+            vo = _row_reduce(ohr_o, t_o, fused_rows)  # (chunk, 2, n_or)
         res_x = wt[None, :] * vo[:, 0]
         res_y = wt[None, :] * vo[:, 1]
         angle_c = _orientation_from_samples(res_x, res_y)
@@ -536,11 +553,14 @@ def orient_mldb_onehot(
         rel_x = jnp.clip(x1 - x0_c[:, None], 0, p - 1)
         rel_y = jnp.clip(y1 - y0_c[:, None], 0, p - 1)
 
-        iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, ns, p), 2)
-        oh_col = (iota == rel_x[:, :, None]).astype(jnp.float32)
-        oh_row = (iota == rel_y[:, :, None]).astype(jnp.float32)
-        t = _onehot_select_rows(oh_col, patch, mode)  # (chunk, ns, 3, p)
-        vals = _row_reduce(oh_row, t, fused_rows)  # (chunk, 3, ns)
+        if use_pallas:
+            vals = _pallas_select(patch, rel_x, rel_y)  # (chunk, 3, ns)
+        else:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, ns, p), 2)
+            oh_col = (iota == rel_x[:, :, None]).astype(jnp.float32)
+            oh_row = (iota == rel_y[:, :, None]).astype(jnp.float32)
+            t = _onehot_select_rows(oh_col, patch, mode)  # (chunk, ns, 3, p)
+            vals = _row_reduce(oh_row, t, fused_rows)  # (chunk, 3, ns)
         words_c = _mldb_pack(
             vals[:, 0], vals[:, 1], vals[:, 2], co, si, pattern_size
         )

@@ -758,7 +758,9 @@ class DeviceExtractor:
         # One-hot contraction strategy: 'highest' (f32 Precision.HIGHEST —
         # bit-exact AND faster than a manual bf16x3 split, measured 31 vs
         # 68 ms; the manual split also loses bit-exactness to split-term
-        # re-addition rounding) or 'bf16x3' (kept for experiments).
+        # re-addition rounding), 'pallas' (keypoint-batched VMEM-resident
+        # selection, akaze/pallas_mldb.py — bit-identical to 'highest',
+        # tests/test_pallas_mldb.py), or 'bf16x3' (kept for experiments).
         self.onehot_mode = onehot_mode
         # Fused Pallas FED chains (akaze/pallas_scale.py); off until the
         # TPU timing + golden gate land (tests prove CPU bit-exactness).

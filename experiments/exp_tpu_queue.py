@@ -44,19 +44,24 @@ def phase_pallas_fed():
     img0 = to_gray_f32(load_gray("/root/reference/res/0000000000.png"))
     img14 = to_gray_f32(load_gray("/root/reference/res/0000000014.png"))
     batch = jnp.stack([jnp.asarray(img0), jnp.asarray(img14)] * 4)  # B=8
-    for flag in (False, True):
+    for label, kwargs in (
+        ("baseline", {}),
+        ("pallas_fed", dict(pallas_fed=True)),
+        ("pallas_mldb", dict(onehot_mode="pallas")),
+        ("pallas_both", dict(pallas_fed=True, onehot_mode="pallas")),
+    ):
         ex = DeviceExtractor(
-            Akaze.sparse(), candidate_budget=256, max_features=512, pallas_fed=flag
+            Akaze.sparse(), candidate_budget=256, max_features=512, **kwargs
         )
         try:
             ms, fs = timeit(ex.extract, batch)
             counts = np.asarray(fs.count)
             print(
-                f"pallas_fed={flag}: {ms:.2f} ms/batch(B=8), "
+                f"{label}: {ms:.2f} ms/batch(B=8), "
                 f"counts {counts[:2].tolist()} (golden 399/343)"
             )
         except Exception as e:
-            print(f"pallas_fed={flag}: FAILED {type(e).__name__}: {e}")
+            print(f"{label}: FAILED {type(e).__name__}: {e}")
 
 
 def phase_select_kernel():

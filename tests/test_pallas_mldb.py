@@ -28,3 +28,31 @@ def test_select_matches_gather(rng, fn):
         rel_x[:, None, :],
     ]
     np.testing.assert_array_equal(out, ref)
+
+
+def test_orient_mldb_pallas_mode_matches_highest(rng):
+    """orient_mldb_onehot(mode='pallas') must produce identical words, ok
+    masks, and angles to the XLA 'highest' path — both resolve the same
+    exact patch samples; only the selection engine differs."""
+    from cv_tpu.akaze import descriptors as desc
+
+    L, hmax, wmax, k = 3, 160, 192, 16
+    planes = jnp.asarray(
+        rng.normal(size=(L, 3, hmax, wmax)).astype(np.float32)
+    )
+    lvl = jnp.asarray(rng.integers(0, L, k), jnp.int32)
+    width = jnp.full((k,), wmax, jnp.int32)
+    height = jnp.full((k,), hmax, jnp.int32)
+    xf = jnp.asarray(rng.uniform(40, wmax - 40, k).astype(np.float32))
+    yf = jnp.asarray(rng.uniform(40, hmax - 40, k).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(1.0, 2.5, k).astype(np.float32))
+
+    w_ref, ok_ref, ang_ref = desc.orient_mldb_onehot(
+        planes, lvl, width, height, xf, yf, scale, mode="highest"
+    )
+    w_pl, ok_pl, ang_pl = desc.orient_mldb_onehot(
+        planes, lvl, width, height, xf, yf, scale, mode="pallas"
+    )
+    np.testing.assert_array_equal(np.asarray(ok_pl), np.asarray(ok_ref))
+    np.testing.assert_array_equal(np.asarray(ang_pl), np.asarray(ang_ref))
+    np.testing.assert_array_equal(np.asarray(w_pl), np.asarray(w_ref))
