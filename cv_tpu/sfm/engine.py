@@ -914,30 +914,61 @@ class VSlam:
                 )
                 pending.append((view_match, neg, idx))
             fetched = jax.device_get([(p[1], p[2]) for p in pending])
-            per_view = [
-                (vm, idx[:nq], -neg[:nq])
-                for (vm, _, _), (neg, idx) in zip(pending, fetched)
-            ]
+            # Vectorized landmark-level dedup + top-3 margins (the scalar
+            # dict walk this replaces cost ~V*k Python dict ops per feature
+            # row — noise through a remote tunnel, but 40%+ of a production
+            # frame budget).  Per row: pool all (landmark, distance) pairs
+            # across views, keep each landmark's min distance, rank the
+            # distinct landmarks by it.
+            lm_cols, d_cols = [], []
+            for (vm, _, _), (neg, idx) in zip(pending, fetched):
+                view_lms = np.asarray(rec.views[vm].landmarks, np.int64)
+                lm_cols.append(view_lms[idx[:nq]])  # (nq, k)
+                d_cols.append(-neg[:nq])
+            lm_all = np.concatenate(lm_cols, axis=1)  # (nq, V*k)
+            d_all = np.concatenate(d_cols, axis=1).astype(np.int64)
+            order = np.argsort(d_all, axis=1, kind="stable")
+            lm_sorted = np.take_along_axis(lm_all, order, axis=1)
+            d_sorted = np.take_along_axis(d_all, order, axis=1)
+            # First occurrence of each landmark in distance order == its
+            # min distance; suppress later duplicates.
+            dup = np.zeros_like(lm_sorted, bool)
+            e = lm_sorted.shape[1]
+            for j in range(1, e):
+                dup[:, j] = (lm_sorted[:, :j] == lm_sorted[:, j : j + 1]).any(1)
+            rank = np.cumsum(~dup, axis=1) - 1  # rank among distinct
+            n_distinct = (~dup).sum(axis=1)
+            big = np.iinfo(np.int64).max
+            top_d = np.full((nq, 3), big, np.int64)
+            top_l = np.zeros((nq, 3), np.int64)
+            for r in range(3):
+                sel = (~dup) & (rank == r)
+                rows, cols = np.nonzero(sel)
+                top_d[rows, r] = d_sorted[rows, cols]
+                top_l[rows, r] = lm_sorted[rows, cols]
+            enough = n_distinct >= 3
+            single = enough & (
+                top_d[:, 0] + s.single_view_match_better_by <= top_d[:, 1]
+            )
+            pair = (
+                enough
+                & ~single
+                & (top_d[:, 1] + s.single_view_match_better_by <= top_d[:, 2])
+            )
             for row, self_feature in enumerate(feat_range):
-                landmark_best = {}
-                for view_match, idx, dist in per_view:
-                    lms = rec.views[view_match].landmarks
-                    for j in range(idx.shape[1]):
-                        lm = lms[idx[row, j]]
-                        dd = int(dist[row, j])
-                        if lm not in landmark_best or landmark_best[lm] > dd:
-                            landmark_best[lm] = dd
-                if len(landmark_best) < 3:
-                    continue
-                best = sorted(landmark_best.items(), key=lambda kv: kv[1])[:3]
-                if best[0][1] + s.single_view_match_better_by <= best[1][1]:
-                    original_matches.append(([best[0][0]], self_feature))
-                elif best[1][1] + s.single_view_match_better_by <= best[2][1]:
+                if single[row]:
+                    original_matches.append(([int(top_l[row, 0])], self_feature))
+                elif pair[row]:
                     if not self.are_landmarks_sharing_view(
-                        reconstruction_key, best[0][0], best[1][0]
+                        reconstruction_key,
+                        int(top_l[row, 0]),
+                        int(top_l[row, 1]),
                     ):
                         original_matches.append(
-                            ([best[0][0], best[1][0]], self_feature)
+                            (
+                                [int(top_l[row, 0]), int(top_l[row, 1])],
+                                self_feature,
+                            )
                         )
 
         # Deduplicate: a landmark matched by two features is always wrong.
