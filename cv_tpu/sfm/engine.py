@@ -716,11 +716,12 @@ class VSlam:
             return False
         wb = self._world_bearings(reconstruction, observations)
         thresh = s.robust_observation_incidence_minimum_cosine_distance
-        for i in range(len(wb)):
-            for j in range(i + 1, len(wb)):
-                if 1.0 - float(wb[i] @ wb[j]) > thresh:
-                    return True
-        return False
+        if len(wb) < 2:
+            return False
+        w = np.stack(wb)
+        g = w @ w.T
+        iu = np.triu_indices(len(wb), 1)
+        return bool(((1.0 - g[iu]) > thresh).any())
 
     def is_landmark_robust(self, reconstruction, landmark):
         return self.are_observations_robust(
@@ -816,11 +817,12 @@ class VSlam:
         ]
         wb = self._world_bearings(reconstruction, obs)
         thresh = self.settings.robust_observation_incidence_minimum_cosine_distance
-        return any(
-            1.0 - float(wb[i] @ wb[j]) > thresh
-            for i in range(len(wb))
-            for j in range(i + 1, len(wb))
-        )
+        if len(wb) < 2:
+            return False
+        w = np.stack(wb)
+        g = w @ w.T
+        iu = np.triu_indices(len(wb), 1)
+        return bool(((1.0 - g[iu]) > thresh).any())
 
     def triangulate_landmark_robust_without_view(
         self, reconstruction, landmark, without_view
