@@ -741,6 +741,7 @@ class DeviceExtractor:
         topk_method: str = "compact",
         onehot_mode: str = "highest",
         pallas_fed: bool = False,
+        pallas_deriv: bool = False,
     ):
         self.config = config or Akaze()
         self.candidate_budget = candidate_budget
@@ -762,9 +763,11 @@ class DeviceExtractor:
         # selection, akaze/pallas_mldb.py — bit-identical to 'highest',
         # tests/test_pallas_mldb.py), or 'bf16x3' (kept for experiments).
         self.onehot_mode = onehot_mode
-        # Fused Pallas FED chains (akaze/pallas_scale.py); off until the
-        # TPU timing + golden gate land (tests prove CPU bit-exactness).
+        # Fused Pallas FED chains / detector-response derivatives
+        # (akaze/pallas_scale.py); off until the TPU timing + golden gate
+        # land (tests prove CPU bit-exactness).
         self.pallas_fed = pallas_fed
+        self.pallas_deriv = pallas_deriv
         from .extract import AkazeExtractor
 
         self._helper = AkazeExtractor(self.config)
@@ -776,7 +779,13 @@ class DeviceExtractor:
         cfg = self.config
         b, h, w = images.shape
         specs = self._helper.specs(h, w)
-        planes = build_scale_space(cfg, specs, images, pallas_fed=self.pallas_fed)
+        planes = build_scale_space(
+            cfg,
+            specs,
+            images,
+            pallas_fed=self.pallas_fed,
+            pallas_deriv=self.pallas_deriv,
+        )
         k = self.candidate_budget
         cand = stage_candidates(cfg, specs, planes, k, self.topk_method)
         cand = stage_dedup(cand, k, self.dedup_scan_cap)

@@ -101,13 +101,16 @@ def build_scale_space(
     specs: list[EvolutionSpec],
     image: jnp.ndarray,
     pallas_fed: bool = False,
+    pallas_deriv: bool = False,
 ) -> list[EvolutionPlanes]:
     """Build all evolutions and their detector responses for a batch of
     frames (lib.rs:193-258 + detector_response.rs).
 
     ``pallas_fed`` runs each evolution's FED tau chain as one fused Pallas
     kernel (akaze/pallas_scale.py): one HBM round trip per evolution
-    instead of one per step.  Bit-exact vs the jitted sequential path
+    instead of one per step.  ``pallas_deriv`` fuses the five multiscale
+    Scharr filters + Hessian response the same way (ten HBM passes -> six
+    plane transfers).  Both are bit-exact vs the jitted sequential paths
     (tests/test_pallas_scale.py)."""
     contrast0 = compute_contrast_factor(
         image, config.contrast_percentile, 1.0, config.contrast_factor_num_bins
@@ -145,12 +148,17 @@ def build_scale_space(
     out = []
     for spec, lt_i, lsm_i in zip(specs, lts, lsmooths):
         sigma_size = int(round(spec.esigma * config.derivative_factor / spec.ratio))
-        lx = ops.scharr_horizontal(lsm_i, sigma_size)
-        ly = ops.scharr_vertical(lsm_i, sigma_size)
-        lxx = ops.scharr_horizontal(lx, sigma_size)
-        lyy = ops.scharr_vertical(ly, sigma_size)
-        lxy = ops.scharr_vertical(lx, sigma_size)
-        ldet = (lxx * lyy - lxy * lxy) * jnp.float32(float(sigma_size) ** 4)
+        if pallas_deriv:
+            from .pallas_scale import detector_response
+
+            lx, ly, ldet = detector_response(lsm_i, sigma_size)
+        else:
+            lx = ops.scharr_horizontal(lsm_i, sigma_size)
+            ly = ops.scharr_vertical(lsm_i, sigma_size)
+            lxx = ops.scharr_horizontal(lx, sigma_size)
+            lyy = ops.scharr_vertical(ly, sigma_size)
+            lxy = ops.scharr_vertical(lx, sigma_size)
+            ldet = (lxx * lyy - lxy * lxy) * jnp.float32(float(sigma_size) ** 4)
         out.append(
             EvolutionPlanes(spec=spec, lt=lt_i, lsmooth=lsm_i, lx=lx, ly=ly, ldet=ldet)
         )

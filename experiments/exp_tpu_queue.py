@@ -47,8 +47,12 @@ def phase_pallas_fed():
     for label, kwargs in (
         ("baseline", {}),
         ("pallas_fed", dict(pallas_fed=True)),
+        ("pallas_deriv", dict(pallas_deriv=True)),
         ("pallas_mldb", dict(onehot_mode="pallas")),
-        ("pallas_both", dict(pallas_fed=True, onehot_mode="pallas")),
+        (
+            "pallas_all",
+            dict(pallas_fed=True, pallas_deriv=True, onehot_mode="pallas"),
+        ),
     ):
         ex = DeviceExtractor(
             Akaze.sparse(), candidate_budget=256, max_features=512, **kwargs

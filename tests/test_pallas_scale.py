@@ -43,3 +43,45 @@ def test_fed_chain_empty_taus(rng):
     flow = jnp.ones_like(lt)
     out = fed_chain(lt, flow, (), interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(lt))
+
+
+@pytest.mark.parametrize("sigma_size", [1, 2, 4])
+def test_detector_response_bit_exact(rng, sigma_size):
+    """Fused Lx/Ly/Ldet kernels vs the jitted ops chain."""
+    from cv_tpu.akaze.pallas_scale import detector_response
+
+    lsm = jnp.asarray(rng.normal(size=(2, 48, 72)).astype(np.float32))
+
+    @partial(jax.jit, static_argnames=("s",))
+    def ref(lsm, s):
+        lx = ops.scharr_horizontal(lsm, s)
+        ly = ops.scharr_vertical(lsm, s)
+        lxx = ops.scharr_horizontal(lx, s)
+        lyy = ops.scharr_vertical(ly, s)
+        lxy = ops.scharr_vertical(lx, s)
+        return lx, ly, (lxx * lyy - lxy * lxy) * jnp.float32(float(s) ** 4)
+
+    rl = ref(lsm, sigma_size)
+    out = detector_response(lsm, sigma_size, interpret=True)
+    for name, a, b in zip(("lx", "ly", "ldet"), out, rl):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+
+
+def test_extractor_pallas_deriv_parity(rng):
+    """DeviceExtractor(pallas_deriv=True) must reproduce the baseline
+    FeatureSet exactly (keypoints AND descriptor words)."""
+    from cv_tpu.akaze import Akaze
+    from cv_tpu.akaze.fast import DeviceExtractor
+
+    img = rng.random((2, 96, 128)).astype(np.float32)
+    ex_a = DeviceExtractor(Akaze(), candidate_budget=32, max_features=64)
+    ex_b = DeviceExtractor(
+        Akaze(), candidate_budget=32, max_features=64, pallas_deriv=True
+    )
+    fa = ex_a.extract(jnp.asarray(img))
+    fb = ex_b.extract(jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(fa.count), np.asarray(fb.count))
+    np.testing.assert_array_equal(np.asarray(fa.words), np.asarray(fb.words))
+    np.testing.assert_array_equal(np.asarray(fa.point), np.asarray(fb.point))
