@@ -59,6 +59,7 @@ def __getattr__(name):
         "solvers",
         "triangulate",
         "apps",
+        "parallel",
         "utils",
         "video",
     ):

@@ -59,6 +59,11 @@ class BatchConsensus:
     hypotheses: int = 1024
     refit_rounds: int = 0
     refit_hypotheses: int = 256
+    # Optional NamedSharding for the hypothesis axis: solving and scoring
+    # run device-local over a mesh, only the best-model argmax reduces
+    # across devices (cv_tpu.parallel.sharded_consensus sets this; results
+    # are identical to the unsharded run for the same key).
+    hypothesis_sharding: Any = None
 
     @partial(jax.jit, static_argnames=("self", "estimator", "n_hyp"))
     def _estimate_stage(self, key, estimator, data, sample_mask, n_hyp):
@@ -77,6 +82,8 @@ class BatchConsensus:
 
         keys = jax.random.split(key, n_hyp)
         idx = jax.vmap(sample_one)(keys)  # (H, m)
+        if self.hypothesis_sharding is not None:
+            idx = jax.lax.with_sharding_constraint(idx, self.hypothesis_sharding)
         sampled = jax.tree_util.tree_map(lambda x: x[idx], data)
         return estimator.estimate(sampled)
 
