@@ -694,8 +694,27 @@ class FastAkazeExtractor:
         )
 
     def extract(self, image: np.ndarray):
-        kp, words, _ = self.extract_with_sketch(image)
-        return kp, words
+        """Sketch-free extraction: skips the fused LSH subgraph entirely
+        (callers that discard the sketch — codebook training, benches —
+        shouldn't pay the N x 512 popcount matmul per frame)."""
+        from .extract import to_gray_f32
+
+        img = to_gray_f32(image)
+        fs = self._dev.extract(jnp.asarray(img)[None])
+        host = jax.device_get(
+            (fs.valid[0], fs.point[0], fs.response[0], fs.size[0],
+             fs.angle[0], fs.octave[0], fs.class_id[0], fs.words[0])
+        )
+        valid, point, response, size, angle, octave, class_id, words = host
+        kp = {
+            "point": point[valid],
+            "response": response[valid],
+            "size": size[valid],
+            "angle": angle[valid],
+            "octave": octave[valid],
+            "class_id": class_id[valid],
+        }
+        return kp, words[valid]
 
     def extract_with_sketch(self, image: np.ndarray):
         """Extract plus the frame's LSH sketch, fused into the same XLA

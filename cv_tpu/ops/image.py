@@ -94,6 +94,8 @@ def _conv1d(img: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
         sl = jax.lax.slice_in_dim(padded, i, i + n, axis=axis)
         term = sl * float(taps[i])
         out = term if out is None else out + term
+    if out is None:  # all-zero kernel: a zero image, not None
+        return jnp.zeros_like(img)
     return out
 
 

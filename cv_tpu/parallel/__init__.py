@@ -30,6 +30,11 @@ def make_mesh(n_devices: int | None = None, axis: str = "batch") -> Mesh:
     """A 1-D device mesh over the first ``n_devices`` devices."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 
@@ -41,6 +46,12 @@ def sharded_extract(extractor, images, mesh: Mesh, axis: str = "batch"):
     extracts its shard of frames; no cross-device traffic (the FeatureSet
     comes back sharded the same way).
     """
+    n = mesh.shape[axis]
+    if images.shape[0] % n:
+        raise ValueError(
+            f"batch of {images.shape[0]} frames does not divide over the "
+            f"{n}-device '{axis}' mesh axis; pad the batch to a multiple"
+        )
     sharding = NamedSharding(mesh, PartitionSpec(axis))
     with mesh:
         # Computation follows data: placing the batch sharded is all the

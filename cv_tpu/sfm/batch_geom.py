@@ -74,22 +74,6 @@ def pack_landmarks(data, reconstruction, landmarks, o_max=None):
     return pack_observations(obs_lists, vp, vb, o_max=o_max)
 
 
-def pack_pose_triples(first_pose, second_pose, bc, bf, bs):
-    """Pack N (center, first, second) bearing triples under shared poses
-    into the ``(N, 3, ...)`` tensors the batch kernels consume — the layout
-    of the reference's ``is_tri_landmark_robust`` (lib.rs:1319-1360)."""
-    n = len(bc)
-    rot = np.tile(np.eye(3), (n, 3, 1, 1))
-    trans = np.zeros((n, 3, 3))
-    rot[:, 1] = first_pose[0]
-    trans[:, 1] = first_pose[1]
-    rot[:, 2] = second_pose[0]
-    trans[:, 2] = second_pose[1]
-    bear = np.stack([bc, bf, bs], axis=1)
-    mask = np.ones((n, 3), bool)
-    return rot, trans, bear, mask
-
-
 def triangulate_batch(rot, trans, bearings, mask):
     """Batched LinearEigen triangulation (triangulation.rs:83-130).
 
@@ -184,42 +168,3 @@ def relative_pose_batch(rot1, trans1, rot2, trans2):
     rrel = rot2 @ np.swapaxes(rot1, -1, -2)
     trel = trans2 - np.einsum("nij,nj->ni", rrel, trans1)
     return rrel, trel
-
-
-def observation_losses_batch(rot, trans, bearings, mask):
-    """Batched ``observation_loss`` (lib.rs:2570-2620) for EVERY observation
-    of every landmark.  Returns ``(L, O)`` losses (padded slots 2.0):
-
-    * 1 observation: 2.0
-    * 2 observations: epipolar sine -> cosine distance between the pair
-    * >= 3: triangulated-point cosine distance (2.0 on triangulation failure)
-    """
-    n_obs = mask.sum(axis=1)
-    l, o = mask.shape
-    out = np.full((l, o), 2.0)
-
-    two = n_obs == 2
-    if np.any(two):
-        idx = np.nonzero(two)[0]
-        # First two masked slots are always slots 0 and 1 by construction.
-        r1, t1 = rot[idx, 0], trans[idx, 0]
-        r2, t2 = rot[idx, 1], trans[idx, 1]
-        b1, b2 = bearings[idx, 0], bearings[idx, 1]
-        rrel, trel = relative_pose_batch(r1, t1, r2, t2)
-        first_in_b = np.einsum("nij,nj->ni", rrel, b1)
-        sine = epipolar_loss_batch(trel, first_in_b, b2)
-        loss = 1.0 - np.cos(np.arcsin(np.minimum(sine, 1.0)))
-        out[idx, 0] = loss
-        out[idx, 1] = loss
-
-    many = n_obs >= 3
-    if np.any(many):
-        idx = np.nonzero(many)[0]
-        pts, ok = triangulate_batch(rot[idx], trans[idx], bearings[idx], mask[idx])
-        cosd = reproject_cosine_batch(
-            rot[idx], trans[idx], bearings[idx], mask[idx], pts
-        )
-        vals = np.where(ok[:, None], cosd, 2.0)
-        keep = np.where(mask[idx], vals, 2.0)
-        out[idx] = keep
-    return out

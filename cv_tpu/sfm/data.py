@@ -379,12 +379,40 @@ class VSlamData:
     @staticmethod
     def load(path) -> "VSlamData":
         """Load either a schema'd npz checkpoint or a legacy pickle (round-1
-        format, detected by magic bytes)."""
+        format, detected by magic bytes).
+
+        Frame sketches are recomputed from the stored descriptors rather
+        than trusted from the checkpoint: a sketch is a pure function of
+        (descriptors, codebook, hashing scheme), and both the scheme and
+        the trained codebook can differ between the writer and this
+        process — mixing old sketches with newly hashed frames would make
+        the retrieval distances meaningless."""
         with open(path, "rb") as f:
             magic = f.read(2)
         if magic == b"PK":  # npz = zip container
             from .serialize import load_npz
 
-            return load_npz(path)
-        with open(path, "rb") as f:
-            return pickle.load(f)
+            data = load_npz(path)
+        else:
+            with open(path, "rb") as f:
+                data = pickle.load(f)
+        data.rehash_sketches()
+        return data
+
+    def rehash_sketches(self):
+        """Recompute every frame's LSH sketch with the current scheme and
+        codebook (used after load; also after retraining the codebook)."""
+        import jax.numpy as jnp
+
+        from ..matching import lsh
+
+        self.frame_sketches = []
+        self.sketch_frames = []
+        for key, frame in self.frames.items():
+            if len(frame.descriptors):
+                sketch = np.asarray(lsh.hash_bag(jnp.asarray(frame.descriptors)))
+            else:
+                sketch = np.zeros(lsh.SKETCH_WORDS, np.uint32)
+            frame.sketch = sketch
+            self.frame_sketches.append(sketch)
+            self.sketch_frames.append(key)

@@ -75,9 +75,16 @@ def _calibrate_host(intrinsics, pts: np.ndarray) -> np.ndarray:
     (pinhole.rs:108-116, 191-202) — per-frame calibration is tiny math, so
     running it on host removes one device round trip per frame.  Returns
     None for camera models without a host mirror (the caller falls back to
-    the model's device ``calibrate``)."""
-    si = getattr(intrinsics, "simple_intrinsics", intrinsics)
-    if not isinstance(si, CameraIntrinsics):
+    the model's device ``calibrate``).  EXACT type checks, deliberately:
+    a subclass overriding ``calibrate`` must get its own method, not the
+    base-model formula."""
+    if type(intrinsics) is CameraIntrinsicsK1Distortion:
+        si = intrinsics.simple_intrinsics
+        if type(si) is not CameraIntrinsics:
+            return None
+    elif type(intrinsics) is CameraIntrinsics:
+        si = intrinsics
+    else:
         return None
     pp = np.asarray(si.principal_point, np.float64)
     focals = np.asarray(si.focals, np.float64)
@@ -705,6 +712,18 @@ class VSlam:
             for v, f in observations
         ]
 
+    @staticmethod
+    def _any_incident_pair(wb, thresh) -> bool:
+        """Some bearing pair with incidence cosine distance above ``thresh``
+        (the robustness predicate's core, lib.rs:2907-2934) — one Gram
+        product over the stacked world bearings."""
+        if len(wb) < 2:
+            return False
+        w = np.stack(wb)
+        g = w @ w.T
+        iu = np.triu_indices(len(wb), 1)
+        return bool(((1.0 - g[iu]) > thresh).any())
+
     def are_observations_robust(self, reconstruction, observations):
         """(lib.rs:2907-2934)"""
         s = self.settings
@@ -714,14 +733,10 @@ class VSlam:
         )
         if len(observations) < needed:
             return False
-        wb = self._world_bearings(reconstruction, observations)
-        thresh = s.robust_observation_incidence_minimum_cosine_distance
-        if len(wb) < 2:
-            return False
-        w = np.stack(wb)
-        g = w @ w.T
-        iu = np.triu_indices(len(wb), 1)
-        return bool(((1.0 - g[iu]) > thresh).any())
+        return self._any_incident_pair(
+            self._world_bearings(reconstruction, observations),
+            s.robust_observation_incidence_minimum_cosine_distance,
+        )
 
     def is_landmark_robust(self, reconstruction, landmark):
         return self.are_observations_robust(
@@ -815,14 +830,10 @@ class VSlam:
             for o in self.data.landmark_observations(reconstruction, landmark)
             if o[0] != without_view
         ]
-        wb = self._world_bearings(reconstruction, obs)
-        thresh = self.settings.robust_observation_incidence_minimum_cosine_distance
-        if len(wb) < 2:
-            return False
-        w = np.stack(wb)
-        g = w @ w.T
-        iu = np.triu_indices(len(wb), 1)
-        return bool(((1.0 - g[iu]) > thresh).any())
+        return self._any_incident_pair(
+            self._world_bearings(reconstruction, obs),
+            self.settings.robust_observation_incidence_minimum_cosine_distance,
+        )
 
     def triangulate_landmark_robust_without_view(
         self, reconstruction, landmark, without_view

@@ -32,8 +32,18 @@ __all__ = ["ImageSequenceSource", "VideoFileSource", "CameraSource"]
 
 
 def _to_gray_u8(frame: np.ndarray) -> np.ndarray:
-    """RGB(A)/gray frame -> (H, W) uint8 grayscale (Rec.601 luma)."""
+    """RGB(A)/gray frame -> (H, W) uint8 grayscale (Rec.601 luma).
+
+    Wide integer frames are RESCALED to 8 bits (uint16 >> 8, matching
+    ImageSequenceSource's handling of 16-bit PNGs), never clipped — a
+    10/16-bit camera would otherwise saturate to white."""
     frame = np.asarray(frame)
+    if frame.dtype == np.uint16:
+        frame = (frame >> 8).astype(np.uint8)
+    elif frame.dtype.kind in "ui" and frame.dtype.itemsize > 2:
+        frame = (frame.astype(np.float64) * (255.0 / np.iinfo(frame.dtype).max)).astype(
+            np.uint8
+        )
     if frame.ndim == 3:
         rgb = frame[..., :3].astype(np.float32)
         frame = rgb @ np.asarray([0.299, 0.587, 0.114], np.float32)

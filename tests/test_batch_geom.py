@@ -111,33 +111,6 @@ def test_epipolar_and_bi_robust_match_scalar(rng):
         )
 
 
-def test_observation_losses_match_scalar(rng):
-    poses, obs_lists = make_scene(rng)
-    rot, trans, bear, mask, _, _ = pack(poses, obs_lists)
-    losses = batch_geom.observation_losses_batch(rot, trans, bear, mask)
-    for i, obs in enumerate(obs_lists):
-        plist = [poses[v] for v, _ in obs]
-        blist = [b for _, b in obs]
-        if len(obs) == 1:
-            expect = [2.0]
-        elif len(obs) == 2:
-            total = se3.compose(plist[1], se3.inverse(plist[0]))
-            sine = host_geom.epipolar_loss(total[1], total[0] @ blist[0], blist[1])
-            loss = 1.0 - float(np.cos(np.arcsin(min(sine, 1.0))))
-            expect = [loss, loss]
-        else:
-            point = host_geom.triangulate_observations(plist, blist)
-            if point is None:
-                expect = [2.0] * len(obs)
-            else:
-                expect = [
-                    1.0 - float(host_geom.transform_bearing(p, point) @ b)
-                    for p, b in zip(plist, blist)
-                ]
-        np.testing.assert_allclose(losses[i, : len(obs)], expect, atol=1e-9)
-        np.testing.assert_allclose(losses[i, len(obs) :], 2.0)
-
-
 def test_reproject_cosine_matches_transform_bearing(rng):
     poses, obs_lists = make_scene(rng, n_landmarks=20)
     rot, trans, bear, mask, _, _ = pack(poses, obs_lists)
