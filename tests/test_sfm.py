@@ -164,6 +164,31 @@ class TestSyntheticReconstruction:
         loaded = VSlamData.load(path)
         assert len(loaded.frames) == len(engine.data.frames)
         assert len(loaded.reconstructions) == len(engine.data.reconstructions)
+        # Sketches are REhashed on load (scheme/codebook may differ from the
+        # writer's): identical to hashing the stored descriptors now.
+        assert len(loaded.frame_sketches) == len(loaded.frames)
+        import jax.numpy as jnp
+
+        from cv_tpu.matching import lsh
+
+        f0 = loaded.sketch_frames[0]
+        np.testing.assert_array_equal(
+            loaded.frames[f0].sketch,
+            np.asarray(lsh.hash_bag(jnp.asarray(loaded.frames[f0].descriptors))),
+        )
+
+    def test_legacy_pickle_load(self, built_engine, tmp_path):
+        """The round-1 pickle format (magic-byte branch) still loads, and
+        its (old-scheme) sketches are replaced by current-scheme hashes."""
+        import pickle
+
+        engine, _, _ = built_engine
+        path = tmp_path / "legacy.cvr"
+        with open(path, "wb") as f:
+            pickle.dump(engine.data, f)
+        loaded = VSlamData.load(path)
+        assert len(loaded.frames) == len(engine.data.frames)
+        assert len(loaded.frame_sketches) == len(loaded.frames)
 
 
 class TestSanityCheck:
