@@ -418,6 +418,41 @@ def _row_reduce(oh_row, t, fused):
     return jnp.sum(oh_row[:, :, None, :] * t, axis=-1).transpose(0, 2, 1)
 
 
+def _select_bf16x3k(rel_x, rel_y, patch):
+    """One-GEMM exact selection: vals[k, c, n] = patch[k, c, rel_y, rel_x].
+
+    The three exact bf16 split terms of the patch are stacked along the
+    CONTRACTION dim (K = 3x128) and the channel axis along N (N = 3x128),
+    so the whole row-selection is a single bf16 batched GEMM with f32 MXU
+    accumulation: the three split products hit the same accumulator and
+    their f32 sum reconstructs the f32 sample exactly in any order (every
+    partial sum needs <= 24 mantissa bits).  Halves the MXU passes of the
+    f32 Precision.HIGHEST einsum (6 -> 3) at identical bit-exact output.
+
+    ``patch``: (chunk, C, P, P) f32; ``rel_x``/``rel_y``: (chunk, ns) i32.
+    Returns (chunk, C, ns) f32.
+    """
+    k, c, p, _ = patch.shape
+    ns = rel_x.shape[1]
+    # (h, c*w) layout so channels ride the GEMM's N dim.
+    patch_t = patch.transpose(0, 2, 1, 3).reshape(k, p, c * p)
+    p1, p2, p3 = _split_bf16x3(patch_t)
+    p_k = jnp.concatenate([p1, p2, p3], axis=1)  # (k, 3P, c*P) bf16
+    iota = jax.lax.broadcasted_iota(jnp.int32, (k, ns, 3 * p), 2)
+    ohr = (iota % p == rel_y[:, :, None]).astype(jnp.bfloat16)
+    t = jax.lax.dot_general(
+        ohr,
+        p_k,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (k, ns, c*P): row h = rel_y selected, exact
+    t = t.reshape(k, ns, c, p)
+    colmask = jax.lax.broadcasted_iota(jnp.int32, (k, ns, p), 2) == rel_x[:, :, None]
+    return jnp.sum(jnp.where(colmask[:, :, None, :], t, 0.0), axis=-1).transpose(
+        0, 2, 1
+    )  # (k, c, ns)
+
+
 def _onehot_select_rows(oh_col, patch, mode):
     """t[n, c, h] = sum_w oh_col[n, w] * patch[c, h, w] for a keypoint chunk.
 
@@ -481,9 +516,16 @@ def orient_mldb_onehot(
 
     mode, _, rows = mode.partition("+")
     fused_rows = rows == "fused"
-    use_pallas = mode == "pallas"
+    use_k = mode == "bf16x3k"
+    use_pallas = mode in ("pallas", "pgather")
     if use_pallas:
         from . import pallas_mldb
+
+        kernel = (
+            pallas_mldb.select_samples_gather
+            if mode == "pgather"
+            else pallas_mldb.select_samples_batched
+        )
 
         def _pallas_select(patch, rel_x, rel_y):
             """(chunk, C, p, p) x (chunk, ns) -> (chunk, C, ns) via the
@@ -493,7 +535,7 @@ def orient_mldb_onehot(
             if ns_pad:
                 rel_x = jnp.pad(rel_x, ((0, 0), (0, ns_pad)))
                 rel_y = jnp.pad(rel_y, ((0, 0), (0, ns_pad)))
-            vals = pallas_mldb.select_samples_batched(patch, rel_x, rel_y)
+            vals = kernel(patch, rel_x, rel_y)
             return vals[:, :, :ns_in]
 
     p = 128
@@ -526,7 +568,9 @@ def orient_mldb_onehot(
         patch = jax.vmap(slice_one)(lvl_c, y0_c, x0_c)  # (chunk, 3, p, p)
 
         # --- orientation from the same patch ---
-        if use_pallas:
+        if use_k:
+            vo = _select_bf16x3k(orx, ory, patch[:, 1:])  # (chunk, 2, n_or)
+        elif use_pallas:
             vo = _pallas_select(patch[:, 1:], orx, ory)  # (chunk, 2, n_or)
         else:
             iota_o = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_or, p), 2)
@@ -553,7 +597,9 @@ def orient_mldb_onehot(
         rel_x = jnp.clip(x1 - x0_c[:, None], 0, p - 1)
         rel_y = jnp.clip(y1 - y0_c[:, None], 0, p - 1)
 
-        if use_pallas:
+        if use_k:
+            vals = _select_bf16x3k(rel_x, rel_y, patch)  # (chunk, 3, ns)
+        elif use_pallas:
             vals = _pallas_select(patch, rel_x, rel_y)  # (chunk, 3, ns)
         else:
             iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, ns, p), 2)

@@ -560,6 +560,22 @@ def stage_refine_select(cfg, specs, cand, planes, k, max_features, slack=128):
 
     offsets = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     samples = {o: jnp.zeros_like(resp1) for o in offsets}
+
+    def take3(flat, start):
+        """flat (T,), start (P,) -> (P, 3): 3 consecutive elements per
+        index.  Gather cost on TPU is index-bound (~18 ns/index), so one
+        3-wide slice costs the same as one scalar take — this fetches each
+        stencil ROW with one index instead of three."""
+        return jax.lax.gather(
+            flat,
+            start[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+            ),
+            slice_sizes=(3,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+
     for (h_g, w_g), idxs_g in groups:
         stacked = jnp.stack([planes[i].ldet for i in idxs_g], axis=1)
         flat_g = stacked.reshape(b, -1)
@@ -569,9 +585,11 @@ def stage_refine_select(cfg, specs, cand, planes, k, max_features, slack=128):
         xs_g = jnp.clip(x1, 1, w_g - 2)
         ys_g = jnp.clip(y1, 1, h_g - 2)
         center_g = (lvl_loc * h_g + ys_g) * w_g + xs_g
-        for dx, dy in offsets:
-            val = jnp.take_along_axis(flat_g, center_g + dy * w_g + dx, axis=1)
-            samples[(dx, dy)] = jnp.where(in_g, val, samples[(dx, dy)])
+        for dy in (-1, 0, 1):
+            row = jax.vmap(take3)(flat_g, center_g + dy * w_g - 1)  # (B, P, 3)
+            for dx in (-1, 0, 1):
+                val = row[..., dx + 1]
+                samples[(dx, dy)] = jnp.where(in_g, val, samples[(dx, dy)])
 
     def at(dx, dy):
         return samples[(dx, dy)]
@@ -759,8 +777,6 @@ class DeviceExtractor:
         dedup_scan_cap: int = 1024,
         topk_method: str = "compact",
         onehot_mode: str = "highest",
-        pallas_fed: bool = False,
-        pallas_deriv: bool = False,
     ):
         self.config = config or Akaze()
         self.candidate_budget = candidate_budget
@@ -775,18 +791,14 @@ class DeviceExtractor:
         # fastest), 'block'/'raw' (exact strongest-K top_k), 'approx'
         # (experimental); see stage_candidates.
         self.topk_method = topk_method
-        # One-hot contraction strategy: 'highest' (f32 Precision.HIGHEST —
-        # bit-exact AND faster than a manual bf16x3 split, measured 31 vs
-        # 68 ms; the manual split also loses bit-exactness to split-term
-        # re-addition rounding), 'pallas' (keypoint-batched VMEM-resident
-        # selection, akaze/pallas_mldb.py — bit-identical to 'highest',
-        # tests/test_pallas_mldb.py), or 'bf16x3' (kept for experiments).
+        # Sample-selection strategy, all bit-identical (tests/test_pallas_mldb
+        # + on-device words-equality checks):
+        #   'highest'  f32 one-hot MXU einsum at Precision.HIGHEST
+        #   'pgather'  Pallas per-tile hardware dynamic-gather kernel
+        #              (pallas_mldb.select_samples_gather)
+        #   'pallas'/'bf16x3'/'bf16x3k'  measured losers, kept for experiments
+        #              (device timings in docs/perf-notes.md round-3)
         self.onehot_mode = onehot_mode
-        # Fused Pallas FED chains / detector-response derivatives
-        # (akaze/pallas_scale.py); off until the TPU timing + golden gate
-        # land (tests prove CPU bit-exactness).
-        self.pallas_fed = pallas_fed
-        self.pallas_deriv = pallas_deriv
         from .extract import AkazeExtractor
 
         self._helper = AkazeExtractor(self.config)
@@ -798,13 +810,7 @@ class DeviceExtractor:
         cfg = self.config
         b, h, w = images.shape
         specs = self._helper.specs(h, w)
-        planes = build_scale_space(
-            cfg,
-            specs,
-            images,
-            pallas_fed=self.pallas_fed,
-            pallas_deriv=self.pallas_deriv,
-        )
+        planes = build_scale_space(cfg, specs, images)
         k = self.candidate_budget
         cand = stage_candidates(cfg, specs, planes, k, self.topk_method)
         cand = stage_dedup(cand, k, self.dedup_scan_cap)

@@ -100,18 +100,16 @@ def build_scale_space(
     config: Akaze,
     specs: list[EvolutionSpec],
     image: jnp.ndarray,
-    pallas_fed: bool = False,
-    pallas_deriv: bool = False,
 ) -> list[EvolutionPlanes]:
     """Build all evolutions and their detector responses for a batch of
     frames (lib.rs:193-258 + detector_response.rs).
 
-    ``pallas_fed`` runs each evolution's FED tau chain as one fused Pallas
-    kernel (akaze/pallas_scale.py): one HBM round trip per evolution
-    instead of one per step.  ``pallas_deriv`` fuses the five multiscale
-    Scharr filters + Hessian response the same way (ten HBM passes -> six
-    plane transfers).  Both are bit-exact vs the jitted sequential paths
-    (tests/test_pallas_scale.py)."""
+    Stays pure-XLA by measurement: whole-frame Pallas stencil fusion of the
+    FED chains / derivative filters was built in round 2 and device-timed
+    in round 3 at 60x SLOWER than this XLA path (a 1-tau fused chain ran
+    5.0 ms vs ~0.08 ms for the XLA step at B=8 — Mosaic lane-dim
+    concat/shift relayouts dominate; docs/perf-notes.md round-3 findings),
+    so the kernels were deleted per the round-2 verdict's instruction."""
     contrast0 = compute_contrast_factor(
         image, config.contrast_percentile, 1.0, config.contrast_factor_num_bins
     )
@@ -130,15 +128,8 @@ def build_scale_space(
         lx = ops.scharr_horizontal(lsmooth, 1)
         ly = ops.scharr_vertical(lsmooth, 1)
         flow = ops.pm_g2(lx, ly, contrast)
-        if pallas_fed:
-            from .pallas_scale import fed_chain
-
-            lt = fed_chain(
-                lt, flow, tuple(float(t) for t in specs[i].fed_tau_steps)
-            )
-        else:
-            for tau in specs[i].fed_tau_steps:
-                lt = ops.fed_step(lt, flow, jnp.float32(tau))
+        for tau in specs[i].fed_tau_steps:
+            lt = ops.fed_step(lt, flow, jnp.float32(tau))
         lts.append(lt)
         lsmooths.append(lsmooth)
 
@@ -148,17 +139,12 @@ def build_scale_space(
     out = []
     for spec, lt_i, lsm_i in zip(specs, lts, lsmooths):
         sigma_size = int(round(spec.esigma * config.derivative_factor / spec.ratio))
-        if pallas_deriv:
-            from .pallas_scale import detector_response
-
-            lx, ly, ldet = detector_response(lsm_i, sigma_size)
-        else:
-            lx = ops.scharr_horizontal(lsm_i, sigma_size)
-            ly = ops.scharr_vertical(lsm_i, sigma_size)
-            lxx = ops.scharr_horizontal(lx, sigma_size)
-            lyy = ops.scharr_vertical(ly, sigma_size)
-            lxy = ops.scharr_vertical(lx, sigma_size)
-            ldet = (lxx * lyy - lxy * lxy) * jnp.float32(float(sigma_size) ** 4)
+        lx = ops.scharr_horizontal(lsm_i, sigma_size)
+        ly = ops.scharr_vertical(lsm_i, sigma_size)
+        lxx = ops.scharr_horizontal(lx, sigma_size)
+        lyy = ops.scharr_vertical(ly, sigma_size)
+        lxy = ops.scharr_vertical(lx, sigma_size)
+        ldet = (lxx * lyy - lxy * lxy) * jnp.float32(float(sigma_size) ** 4)
         out.append(
             EvolutionPlanes(spec=spec, lt=lt_i, lsmooth=lsm_i, lx=lx, ly=ly, ldet=ldet)
         )

@@ -344,6 +344,13 @@ class VSlamData:
             x = (stack ^ self.frames[frame].sketch[None, :]).view(np.uint8)
             d = _POPCOUNT8[x].sum(axis=1, dtype=np.int32)
             order = np.argsort(d, kind="stable")[:similar_frames_search_num]
+            # Collect a pool of eligible candidates in sketch order, then
+            # rerank the pool by exact descriptor similarity before keeping
+            # the top num_similar_frames: the 512-bit sketch is a lossy
+            # shortlist (held-out recall@1 0.80), the descriptor score is
+            # near-perfect (oracle 1.00; see lsh.descriptor_rerank_score).
+            pool_cap = max(4 * num_similar_frames, 8)
+            pool = []
             for ix in order:
                 found = self.sketch_frames[ix]
                 found_feed = self.frames[found].feed
@@ -354,9 +361,19 @@ class VSlamData:
                 )
                 if found == frame or found in recent_frames or too_close:
                     continue
-                similar_frames.append(found)
-                if len(similar_frames) >= num_similar_frames:
+                pool.append(found)
+                if len(pool) >= pool_cap:
                     break
+            if len(pool) > num_similar_frames:
+                q_words = self.frames[frame].descriptors
+                scores = [
+                    lsh.descriptor_rerank_score(
+                        q_words, self.frames[f].descriptors
+                    )
+                    for f in pool
+                ]
+                pool = [pool[i] for i in np.argsort(scores, kind="stable")]
+            similar_frames = pool[:num_similar_frames]
 
         reconstruction_frames: dict = {}
         free_frames: list = []

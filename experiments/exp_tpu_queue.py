@@ -1,10 +1,14 @@
-"""TPU measurement queue — run the moment the axon tunnel recovers.
+"""TPU measurement queue — standing harness for extractor-level A/B runs.
+
+Round-3 note: the round-2 Pallas FED/derivative kernels this queue was
+written to time were measured (exp_r3_pallas_probe.py) at 60x slower than
+the XLA path and deleted; the queue now compares the sample-selection
+modes that remain plus batch scaling.
 
 Phases (each independent; failures don't block the rest):
   1. bench.py main metric (golden gate + fps)
-  2. pallas_fed FED-chain extract timing + golden counts vs baseline
-  3. select_samples_batched kernel timing at realistic shapes
-  4. B=32 stage timings
+  2. extract-mode A/B (onehot_mode: highest vs pgather)
+  3. b32: per-stage table at B=32
 Usage: python experiments/exp_tpu_queue.py [phase...]  (default: all)
 """
 
@@ -36,7 +40,7 @@ def timeit(fn, *args, n=8):
     return (time.perf_counter() - t0) / n * 1e3, out
 
 
-def phase_pallas_fed():
+def phase_modes():
     from cv_tpu.akaze import Akaze, load_gray
     from cv_tpu.akaze.extract import to_gray_f32
     from cv_tpu.akaze.fast import DeviceExtractor
@@ -44,51 +48,20 @@ def phase_pallas_fed():
     img0 = to_gray_f32(load_gray("/root/reference/res/0000000000.png"))
     img14 = to_gray_f32(load_gray("/root/reference/res/0000000014.png"))
     batch = jnp.stack([jnp.asarray(img0), jnp.asarray(img14)] * 4)  # B=8
-    for label, kwargs in (
-        ("baseline", {}),
-        ("pallas_fed", dict(pallas_fed=True)),
-        ("pallas_deriv", dict(pallas_deriv=True)),
-        ("pallas_mldb", dict(onehot_mode="pallas")),
-        (
-            "pallas_all",
-            dict(pallas_fed=True, pallas_deriv=True, onehot_mode="pallas"),
-        ),
-    ):
+    for mode in ("highest", "pgather"):
         ex = DeviceExtractor(
-            Akaze.sparse(), candidate_budget=256, max_features=512, **kwargs
+            Akaze.sparse(), candidate_budget=256, max_features=512,
+            onehot_mode=mode,
         )
         try:
             ms, fs = timeit(ex.extract, batch)
             counts = np.asarray(fs.count)
             print(
-                f"{label}: {ms:.2f} ms/batch(B=8), "
+                f"{mode}: {ms:.2f} ms/batch(B=8), "
                 f"counts {counts[:2].tolist()} (golden 399/343)"
             )
         except Exception as e:
-            print(f"{label}: FAILED {type(e).__name__}: {e}")
-
-
-def phase_select_kernel():
-    from cv_tpu.akaze import pallas_mldb
-
-    rng = np.random.default_rng(0)
-    k, c, ns = 4096, 3, 512
-    patches = jnp.asarray(rng.normal(size=(k, c, 128, 128)).astype(np.float32))
-    rel_x = jnp.asarray(rng.integers(0, 128, (k, ns)).astype(np.int32))
-    rel_y = jnp.asarray(rng.integers(0, 128, (k, ns)).astype(np.int32))
-    for name, fn in (
-        ("batched(G=8/step)", pallas_mldb.select_samples_batched),
-        ("per-keypoint", pallas_mldb.select_samples),
-    ):
-        try:
-            t0 = time.perf_counter()
-            out = fn(patches, rel_x, rel_y)
-            _sync(out)
-            compile_s = time.perf_counter() - t0
-            ms, _ = timeit(fn, patches, rel_x, rel_y, n=5)
-            print(f"select {name}: {ms:.2f} ms (compile {compile_s:.0f}s) for K=4096 NS=512")
-        except Exception as e:
-            print(f"select {name}: FAILED {type(e).__name__}: {e}")
+            print(f"{mode}: FAILED {type(e).__name__}: {e}")
 
 
 def phase_b32():
@@ -111,13 +84,12 @@ def phase_bench():
 
 PHASES = {
     "bench": phase_bench,
-    "pallas_fed": phase_pallas_fed,
-    "select": phase_select_kernel,
+    "modes": phase_modes,
     "b32": phase_b32,
 }
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["pallas_fed", "select", "b32", "bench"]
+    names = sys.argv[1:] or ["modes", "b32", "bench"]
     for nm in names:
         print(f"=== {nm} ===", flush=True)
         try:

@@ -11,7 +11,12 @@ from cv_tpu.akaze import pallas_mldb
 
 
 @pytest.mark.parametrize(
-    "fn", [pallas_mldb.select_samples, pallas_mldb.select_samples_batched]
+    "fn",
+    [
+        pallas_mldb.select_samples,
+        pallas_mldb.select_samples_batched,
+        pallas_mldb.select_samples_gather,
+    ],
 )
 def test_select_matches_gather(rng, fn):
     k, c, ns = 16, 3, 128
@@ -30,9 +35,10 @@ def test_select_matches_gather(rng, fn):
     np.testing.assert_array_equal(out, ref)
 
 
-def test_orient_mldb_pallas_mode_matches_highest(rng):
-    """orient_mldb_onehot(mode='pallas') must produce identical words, ok
-    masks, and angles to the XLA 'highest' path — both resolve the same
+@pytest.mark.parametrize("mode", ["pallas", "pgather"])
+def test_orient_mldb_pallas_mode_matches_highest(rng, mode):
+    """orient_mldb_onehot Pallas modes must produce identical words, ok
+    masks, and angles to the XLA 'highest' path — all resolve the same
     exact patch samples; only the selection engine differs."""
     from cv_tpu.akaze import descriptors as desc
 
@@ -51,7 +57,7 @@ def test_orient_mldb_pallas_mode_matches_highest(rng):
         planes, lvl, width, height, xf, yf, scale, mode="highest"
     )
     w_pl, ok_pl, ang_pl = desc.orient_mldb_onehot(
-        planes, lvl, width, height, xf, yf, scale, mode="pallas"
+        planes, lvl, width, height, xf, yf, scale, mode=mode
     )
     np.testing.assert_array_equal(np.asarray(ok_pl), np.asarray(ok_ref))
     np.testing.assert_array_equal(np.asarray(ang_pl), np.asarray(ang_ref))
