@@ -521,21 +521,24 @@ def orient_mldb_onehot(
     if use_pallas:
         from . import pallas_mldb
 
-        kernel = (
-            pallas_mldb.select_samples_gather
-            if mode == "pgather"
-            else pallas_mldb.select_samples_batched
-        )
+        use_gather = mode == "pgather"
 
-        def _pallas_select(patch, rel_x, rel_y):
-            """(chunk, C, p, p) x (chunk, ns) -> (chunk, C, ns) via the
+        def _pallas_select(patch, rel_x, rel_y, c0=0):
+            """(chunk, C, p, p) x (chunk, ns) -> (chunk, C - c0, ns) via the
             keypoint-batched Pallas kernel; pads ns to a lane multiple."""
             ns_in = rel_x.shape[1]
             ns_pad = (-ns_in) % 128
             if ns_pad:
                 rel_x = jnp.pad(rel_x, ((0, 0), (0, ns_pad)))
                 rel_y = jnp.pad(rel_y, ((0, 0), (0, ns_pad)))
-            vals = kernel(patch, rel_x, rel_y)
+            if use_gather:
+                vals = pallas_mldb.select_samples_gather(
+                    patch, rel_x, rel_y, c0=c0
+                )
+            else:
+                vals = pallas_mldb.select_samples_batched(
+                    patch[:, c0:] if c0 else patch, rel_x, rel_y
+                )
             return vals[:, :, :ns_in]
 
     p = 128
@@ -571,7 +574,7 @@ def orient_mldb_onehot(
         if use_k:
             vo = _select_bf16x3k(orx, ory, patch[:, 1:])  # (chunk, 2, n_or)
         elif use_pallas:
-            vo = _pallas_select(patch[:, 1:], orx, ory)  # (chunk, 2, n_or)
+            vo = _pallas_select(patch, orx, ory, c0=1)  # (chunk, 2, n_or)
         else:
             iota_o = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_or, p), 2)
             ohc_o = (iota_o == orx[:, :, None]).astype(jnp.float32)

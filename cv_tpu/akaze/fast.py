@@ -661,6 +661,10 @@ def stage_describe(cfg, planes, sel, sampler: str, onehot_mode: str = "highest")
             yf.reshape(-1),
             sel["ssamp"].reshape(-1),
             pattern_size=cfg.descriptor_pattern_size,
+            # Bigger chunks amortize per-call overhead for the Pallas gather
+            # kernel (fewer pallas_call launches under lax.map); the XLA
+            # one-hot path keeps 128 to bound its HBM intermediates.
+            chunk=512 if onehot_mode == "pgather" else 128,
             mode=onehot_mode,
         )
         words = words.reshape(b, m, -1)
@@ -776,7 +780,7 @@ class DeviceExtractor:
         sampler: str = "onehot",
         dedup_scan_cap: int = 1024,
         topk_method: str = "compact",
-        onehot_mode: str = "highest",
+        onehot_mode: str | None = None,
     ):
         self.config = config or Akaze()
         self.candidate_budget = candidate_budget
@@ -793,11 +797,18 @@ class DeviceExtractor:
         self.topk_method = topk_method
         # Sample-selection strategy, all bit-identical (tests/test_pallas_mldb
         # + on-device words-equality checks):
-        #   'highest'  f32 one-hot MXU einsum at Precision.HIGHEST
         #   'pgather'  Pallas per-tile hardware dynamic-gather kernel
-        #              (pallas_mldb.select_samples_gather)
+        #              (pallas_mldb.select_samples_gather) — TPU default,
+        #              wins 41.9 vs 45.2 ms/batch at B=8 (exp_r3_pgather.py)
+        #   'highest'  f32 one-hot MXU einsum at Precision.HIGHEST — CPU
+        #              default (Pallas interpret mode is a per-grid-step
+        #              Python loop; XLA is far faster there)
         #   'pallas'/'bf16x3'/'bf16x3k'  measured losers, kept for experiments
         #              (device timings in docs/perf-notes.md round-3)
+        if onehot_mode is None:
+            onehot_mode = (
+                "highest" if jax.default_backend() == "cpu" else "pgather"
+            )
         self.onehot_mode = onehot_mode
         from .extract import AkazeExtractor
 

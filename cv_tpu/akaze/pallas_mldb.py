@@ -92,7 +92,9 @@ def _select_kernel_batched(relx_ref, rely_ref, patch_ref, out_ref, *, c, ns, g):
             out_ref[j, ch] = jnp.sum(jnp.where(colmask, t, 0.0), axis=1)
 
 
-def _select_kernel_gather(relx_ref, rely_ref, patch_ref, out_ref, *, c, ns, g):
+def _select_kernel_gather(
+    relx_ref, rely_ref, patch_ref, out_ref, *, c, ns, g, c0=0
+):
     """Hardware dynamic-gather selection — no one-hot, no MXU, pure f32.
 
     v5e's ``tpu.dynamic_gather`` is per-tile only (lane gather within one
@@ -120,26 +122,31 @@ def _select_kernel_gather(relx_ref, rely_ref, patch_ref, out_ref, *, c, ns, g):
                 jax.lax.broadcasted_iota(jnp.int32, (P // 8, 8, P), 0)
                 == q[None, None, :]
             )
-            for ch in range(c):
+            for ch in range(c0, c):
                 p = patch_ref[j, ch]  # (P, P)
                 u = jnp.take_along_axis(p, rx_b, axis=1)
                 w = jnp.sum(
                     jnp.where(qmask, u.reshape(P // 8, 8, P), 0.0), axis=0
                 )  # (8, P)
                 v = jnp.take_along_axis(w, r_b, axis=0)
-                out_ref[j, ch, cc * P : (cc + 1) * P] = v[0]
+                out_ref[j, ch - c0, cc * P : (cc + 1) * P] = v[0]
 
 
-@partial(jax.jit, static_argnames=("interpret", "g"))
+@partial(jax.jit, static_argnames=("interpret", "g", "c0"))
 def select_samples_gather(
     patches: jnp.ndarray,  # (K, C, P, P) f32
     rel_x: jnp.ndarray,  # (K, NS) i32 in [0, P)
     rel_y: jnp.ndarray,  # (K, NS) i32
     interpret: bool = False,
     g: int = G,
+    c0: int = 0,
 ) -> jnp.ndarray:
-    """vals[k, c, s] = patches[k, c, rel_y[k, s], rel_x[k, s]] via per-tile
-    hardware gathers (see _select_kernel_gather).  Bit-exact f32."""
+    """vals[k, c - c0, s] = patches[k, c, rel_y[k, s], rel_x[k, s]] via
+    per-tile hardware gathers (see _select_kernel_gather).  Bit-exact f32.
+
+    ``c0``: first channel to select — lets the orientation pass (Lx/Ly
+    only) share the SAME 3-channel patches operand as the M-LDB pass
+    instead of slicing a channel-copy of it (XLA CSEs the one operand)."""
     k, c, p, p2 = patches.shape
     assert p == P and p2 == P, (p, p2)
     ns = rel_x.shape[1]
@@ -147,7 +154,7 @@ def select_samples_gather(
     assert k % g == 0, (k, g)
     interpret = interpret or jax.default_backend() == "cpu"
     return pl.pallas_call(
-        partial(_select_kernel_gather, c=c, ns=ns, g=g),
+        partial(_select_kernel_gather, c=c, ns=ns, g=g, c0=c0),
         grid=(k // g,),
         in_specs=[
             pl.BlockSpec((g, ns), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -157,9 +164,9 @@ def select_samples_gather(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (g, c, ns), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (g, c - c0, ns), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((k, c, ns), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k, c - c0, ns), jnp.float32),
         interpret=interpret,
     )(rel_x, rel_y, patches)
 

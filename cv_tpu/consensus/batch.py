@@ -59,6 +59,20 @@ class BatchConsensus:
     hypotheses: int = 1024
     refit_rounds: int = 0
     refit_hypotheses: int = 256
+    # ARRSAC-style preemptive scoring (arrsac evaluates hypotheses on data
+    # blocks and discards losers before seeing all points): when
+    # ``prescore_matches`` > 0, every candidate model is first scored on
+    # only the first ``prescore_matches`` data rows and only the best
+    # ``prescore_keep`` models (by subset inlier count, ties toward lower
+    # subset residual) graduate to full scoring.  The final selection over
+    # survivors stays exact two-stage lexicographic.  At the engine's
+    # two-view shape (8192 models x 512 matches) this cuts residual
+    # evaluations ~5x; it is a PREFILTER, so the quantized tie-break here
+    # cannot reorder the exact final ordering — it only decides which
+    # near-tied models graduate (the same nondeterminism ARRSAC's block
+    # schedule has).
+    prescore_matches: int = 0
+    prescore_keep: int = 256
     # Optional NamedSharding for the hypothesis axis: solving and scoring
     # run device-local over a mesh, only the best-model argmax reduces
     # across devices (cv_tpu.parallel.sharded_consensus sets this; results
@@ -86,6 +100,25 @@ class BatchConsensus:
             idx = jax.lax.with_sharding_constraint(idx, self.hypothesis_sharding)
         sampled = jax.tree_util.tree_map(lambda x: x[idx], data)
         return estimator.estimate(sampled)
+
+    @partial(jax.jit, static_argnames=("self", "estimator"))
+    def _prescore_stage(self, estimator, models, data, valid_row):
+        """Preemption: keep the ``prescore_keep`` most promising models by
+        scoring only the first ``prescore_matches`` rows (see class doc).
+        Returns a models pytree with batch shape (prescore_keep, 1)."""
+        p = self.prescore_matches
+        sub = jax.tree_util.tree_map(lambda x: x[:p], data)
+        res = estimator.residual(models, sub)  # (H, M, P)
+        inliers = (res < self.threshold) & valid_row[:p] & jnp.isfinite(res)
+        counts = jnp.sum(inliers, axis=-1).reshape(-1)
+        total = jnp.sum(jnp.where(inliers, res, 0.0), axis=-1).reshape(-1)
+        # Composite preemption key: counts are small ints (<= p), and the
+        # tie-break term lives in (0, 1], so it can never reorder counts.
+        key = counts.astype(jnp.float32) * 2.0 + 1.0 / (1.0 + total)
+        _, kidx = jax.lax.top_k(key, min(self.prescore_keep, key.shape[0]))
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[kidx][:, None], models
+        )
 
     @partial(jax.jit, static_argnames=("self", "estimator"))
     def _score_stage(self, estimator, models, data, valid_row):
@@ -154,6 +187,11 @@ class BatchConsensus:
 
         def run_round(k, n_hyp, sample_mask):
             models = self._estimate_stage(k, estimator, data, sample_mask, n_hyp)
+            if (
+                self.prescore_matches > 0
+                and n_hyp * estimator.models_per_sample > self.prescore_keep
+            ):
+                models = self._prescore_stage(estimator, models, data, valid_row)
             return self._score_stage(estimator, models, data, valid_row)
 
         # The first round consumes ``key`` itself so refit_rounds=0 draws

@@ -53,6 +53,7 @@ def landmark_deltas(pose: Isometry3, bearings, world_points, valid):
     return t, r, contrib
 
 
+@jax.jit
 def single_view_simple_optimize_l1(
     pose: Isometry3,
     bearings: jnp.ndarray,  # (N, 3)
@@ -107,6 +108,7 @@ def single_view_simple_optimize_l1(
     return pose
 
 
+@jax.jit
 def single_view_simple_optimize_l2(
     pose: Isometry3,
     bearings: jnp.ndarray,
@@ -200,6 +202,7 @@ def _three_view_loop(poses, observations, valid, iterations, compute_delta):
     return ftoc, stoc
 
 
+@jax.jit
 def three_view_simple_optimize_l1(
     poses: tuple,
     observations: jnp.ndarray,
@@ -242,6 +245,7 @@ def three_view_simple_optimize_l1(
     return ftoc.inverse(), stoc.inverse()
 
 
+@jax.jit
 def three_view_simple_optimize_l2(
     poses: tuple,
     observations: jnp.ndarray,
@@ -271,6 +275,7 @@ def three_view_simple_optimize_l2(
     return ftoc.inverse(), stoc.inverse()
 
 
+@jax.jit
 def three_view_adaptive_optimize_l2(
     poses: tuple,
     observations: jnp.ndarray,

@@ -181,6 +181,61 @@ def graph_ba_device(rot, trans, edge_to, edge_from, edge_rot, edge_t, edge_valid
     return rot, trans, removed
 
 
+def _essential_estimate(s):
+    return eight_point.estimate(s[0], s[1])
+
+
+def _essential_residual(m, d):
+    return camera_to_camera_residual(
+        Isometry3(
+            rotation=m.rotation[..., None, :, :],
+            translation=m.translation[..., None, :],
+        ),
+        d[0],
+        d[1],
+    )
+
+
+def _p3p_estimate(s):
+    poses, valid = lambda_twist.estimate(s[0], s[1])
+    # Zero-poisoning, not NaN: a jnp.where with a NaN constant after the
+    # P3P solver SIGABRTs the axon TPU compiler.  A zero pose maps every
+    # point to the zero vector, whose bearing is NaN at runtime, so
+    # consensus scoring's isfinite() still rejects it.
+    bad = ~valid
+    return Isometry3(
+        rotation=jnp.where(bad[..., None, None], 0.0, poses.rotation),
+        translation=jnp.where(bad[..., None], 0.0, poses.translation),
+    )
+
+
+def _p3p_residual(m, d):
+    return world_to_camera_residual(
+        Isometry3(
+            rotation=m.rotation[..., None, :, :],
+            translation=m.translation[..., None, :],
+        ),
+        d[0],
+        d[1],
+    )
+
+
+# Shared default estimators (see VSlam.__init__ for why these must be
+# singletons: they are static args of the consensus jits).
+DEFAULT_ESSENTIAL_ESTIMATOR = Estimator(
+    min_samples=8,
+    models_per_sample=4,
+    estimate=_essential_estimate,
+    residual=_essential_residual,
+)
+DEFAULT_POSE_ESTIMATOR = Estimator(
+    min_samples=3,
+    models_per_sample=4,
+    estimate=_p3p_estimate,
+    residual=_p3p_residual,
+)
+
+
 class VSlam:
     """The reconstruction engine (lib.rs:724-790)."""
 
@@ -218,17 +273,27 @@ class VSlam:
         # refinement ladder, which the reference engine always runs
         # (vslam-sandbox/src/main.rs:105-117).  Cost: 2 extra XLA dispatches
         # per consensus call.
+        # prescore_*: ARRSAC-style preemptive scoring (consensus/batch.py) —
+        # candidate models are ranked on a 64-row block first and only the
+        # top 512 graduate to full scoring, ~4-5x fewer residual
+        # evaluations at the engine's consensus shapes (the dominant
+        # steady-state device cost: one full-scoring two-view call ran ~1 s
+        # on the v5e; exp_sfm_profile warm pass).
         self.single_view_consensus = single_view_consensus or BatchConsensus(
             threshold=self.settings.single_view_consensus_threshold,
             hypotheses=single_view_hypotheses,
             refit_rounds=1,
             refit_hypotheses=256,
+            prescore_matches=64,
+            prescore_keep=512,
         )
         self.two_view_consensus = two_view_consensus or BatchConsensus(
             threshold=self.settings.two_view_consensus_threshold,
             hypotheses=two_view_hypotheses,
             refit_rounds=1,
             refit_hypotheses=256,
+            prescore_matches=64,
+            prescore_keep=512,
         )
         self.triangulator = triangulator or host_geom.triangulate_observations
         self._extractor = extractor_cls(
@@ -237,45 +302,14 @@ class VSlam:
                 maximum_features=self.settings.tracking_features,
             )
         )
-        self.essential_estimator = essential_estimator or Estimator(
-            min_samples=8,
-            models_per_sample=4,
-            estimate=lambda s: eight_point.estimate(s[0], s[1]),
-            residual=lambda m, d: camera_to_camera_residual(
-                Isometry3(
-                    rotation=m.rotation[..., None, :, :],
-                    translation=m.translation[..., None, :],
-                ),
-                d[0],
-                d[1],
-            ),
-        )
-
-        def _p3p_estimate(s):
-            poses, valid = lambda_twist.estimate(s[0], s[1])
-            # Zero-poisoning, not NaN: a jnp.where with a NaN constant after
-            # the P3P solver SIGABRTs the axon TPU compiler.  A zero pose
-            # maps every point to the zero vector, whose bearing is NaN at
-            # runtime, so consensus scoring's isfinite() still rejects it.
-            bad = ~valid
-            return Isometry3(
-                rotation=jnp.where(bad[..., None, None], 0.0, poses.rotation),
-                translation=jnp.where(bad[..., None], 0.0, poses.translation),
-            )
-
-        self.pose_estimator = pose_estimator or Estimator(
-            min_samples=3,
-            models_per_sample=4,
-            estimate=_p3p_estimate,
-            residual=lambda m, d: world_to_camera_residual(
-                Isometry3(
-                    rotation=m.rotation[..., None, :, :],
-                    translation=m.translation[..., None, :],
-                ),
-                d[0],
-                d[1],
-            ),
-        )
+        # MODULE-LEVEL default estimators, not per-engine lambdas: the
+        # estimator is a static argument of the consensus jits, so fresh
+        # closures per VSlam instance re-lower + recompile every consensus
+        # program per engine (~15 s per 12-frame run rediscovered by the
+        # round-3 warm-pass profile).  Singletons make the jit caches hit
+        # across engine instances and across bench passes.
+        self.essential_estimator = essential_estimator or DEFAULT_ESSENTIAL_ESTIMATOR
+        self.pose_estimator = pose_estimator or DEFAULT_POSE_ESTIMATOR
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)

@@ -93,5 +93,82 @@ def main():
     print(s.getvalue()[:4500])
 
 
+
+
+
+def warm_main():
+    """Second-pass (steady-state) profile with fetch-site accounting."""
+    import cv_tpu.sfm.engine as eng
+    from cv_tpu.akaze.fast import FastAkazeExtractor
+    from cv_tpu.apps.synth import render_sequence
+    from cv_tpu.camera import CameraIntrinsics, CameraIntrinsicsK1Distortion
+    from cv_tpu.sfm import VSlam, VSlamSettings
+    from cv_tpu.akaze import Akaze
+
+    images, (fx, fy, cx, cy), _ = render_sequence(
+        n_frames=12, height=512, width=640, n_points=900, seed=0
+    )
+    settings = VSlamSettings(
+        akaze_threshold=0.001,
+        tracking_features=1024,
+        two_view_minimum_robust_matches=32,
+        optimization_iterations=256,
+        three_view_patience=4000,
+        single_view_patience=4000,
+        constraint_patience=1000,
+        tracking_recent_frames=8,
+    )
+    intr = CameraIntrinsicsK1Distortion.new(
+        CameraIntrinsics.from_values(fx, fy, cx, cy), 0.0
+    )
+    extractor = FastAkazeExtractor(
+        Akaze(detector_threshold=settings.akaze_threshold,
+              maximum_features=settings.tracking_features)
+    )
+
+    stats = {"fetch_calls": 0, "fetch_s": 0.0, "fetch_arrays": 0}
+    orig_fetch = eng._fetch
+
+    def counting_fetch(*arrays):
+        t0 = time.perf_counter()
+        out = orig_fetch(*arrays)
+        stats["fetch_calls"] += 1
+        stats["fetch_arrays"] += len(arrays)
+        stats["fetch_s"] += time.perf_counter() - t0
+        return out
+
+    def run():
+        engine = VSlam(settings=settings, seed=0,
+                       extractor_cls=lambda *a, **k: extractor)
+        feed = engine.add_feed(intr)
+        t0 = time.time()
+        for img in images:
+            engine.add_frame(feed, img)
+        return time.time() - t0, engine
+
+    run()  # compile pass
+    eng._fetch = counting_fetch
+    try:
+        import cProfile, io, pstats
+
+        pr = cProfile.Profile()
+        pr.enable()
+        dt, engine = run()
+        pr.disable()
+    finally:
+        eng._fetch = orig_fetch
+    print(f"warm pass: {dt:.1f}s for 12 frames -> {12/dt:.2f} fps")
+    print(f"_fetch: {stats['fetch_calls']} calls ({stats['fetch_calls']/12:.0f}/frame), "
+          f"{stats['fetch_arrays']} arrays, {stats['fetch_s']:.1f}s waiting "
+          f"({stats['fetch_s']/dt*100:.0f}% of wall)")
+    s = io.StringIO()
+    ps = pstats.Stats(pr, stream=s).sort_stats("cumulative")
+    ps.print_stats(24)
+    ps.print_callers("array.py.*_value")
+    print(s.getvalue()[:6000])
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    warm_main() if "warm" in _sys.argv else main()
