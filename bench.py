@@ -101,6 +101,10 @@ def main():
         sfm_fps, sfm_views, sfm_landmarks = _bench_sfm_end_to_end()
     except Exception:
         sfm_fps, sfm_views, sfm_landmarks = None, None, None
+    try:
+        merge_ok, merge_views = _bench_sfm_merge()
+    except Exception:
+        merge_ok, merge_views = None, None
 
     value = best_fps if golden_ok else 0.0
     print(
@@ -128,6 +132,13 @@ def main():
                 "sfm_end_to_end_fps": round(sfm_fps, 2) if sfm_fps else None,
                 "sfm_views": sfm_views,
                 "sfm_landmarks": sfm_landmarks,
+                # Loop-closure merge scenario: two disjoint trajectory
+                # segments form separate reconstructions; a mid-trajectory
+                # revisit must retrieve BOTH via the LSH sketch shortlist +
+                # descriptor rerank and trigger try_merge_reconstructions
+                # (lib.rs:2116-2193 parity on the driver-visible path).
+                "sfm_merge_ok": merge_ok,
+                "sfm_merge_views": merge_views,
             }
         )
     )
@@ -380,6 +391,56 @@ def _bench_sfm_end_to_end():
         views = max(views, len(rec.views))
         landmarks = max(landmarks, len(rec.landmarks))
     return len(images) / dt, views, landmarks
+
+
+def _bench_sfm_merge(n_seg=5):
+    """Revisit-triggers-merge scenario (experiments/exp_r3_merge.py):
+    segment A and the trajectory's far end form two reconstructions (the
+    viewpoint gap defeats cross-segment registration); mid-trajectory
+    bridge frames retrieve both segments through the sketch shortlist +
+    descriptor rerank and must merge them.  Returns (merged, final_views).
+    """
+    from cv_tpu.akaze.fast import FastAkazeExtractor
+    from cv_tpu.apps.synth import render_sequence
+    from cv_tpu.camera import CameraIntrinsics, CameraIntrinsicsK1Distortion
+    from cv_tpu.sfm import VSlam, VSlamSettings
+
+    gap = int(2.7 * n_seg)
+    n_total = n_seg + gap + n_seg
+    images, (fx, fy, cx, cy), _ = render_sequence(
+        n_frames=n_total, height=512, width=640, n_points=1200, seed=5
+    )
+    seg_a = list(range(0, n_seg))
+    seg_b = list(range(n_seg + gap, n_total))
+    mid = n_seg + gap // 2
+    order = seg_a + seg_b + [mid - 1, mid, mid + 1]
+    settings = VSlamSettings(
+        akaze_threshold=0.001,
+        tracking_features=1024,
+        two_view_minimum_robust_matches=32,
+        optimization_iterations=256,
+        three_view_patience=4000,
+        single_view_patience=4000,
+        constraint_patience=1000,
+        tracking_recent_frames=3,
+        tracking_similar_frames=6,
+        tracking_similar_frame_recent_threshold=3,
+        tracking_similar_frame_search_num=64,
+    )
+    engine = VSlam(settings=settings, seed=0, extractor_cls=FastAkazeExtractor)
+    intr = CameraIntrinsicsK1Distortion.new(
+        CameraIntrinsics.from_values(fx, fy, cx, cy), 0.0
+    )
+    feed = engine.add_feed(intr)
+    max_recs = 0
+    for i in order:
+        engine.add_frame(feed, images[i])
+        max_recs = max(max_recs, len(engine.data.reconstructions))
+    final = len(engine.data.reconstructions)
+    views = max(
+        (len(r.views) for r in engine.data.reconstructions.values()), default=0
+    )
+    return bool(max_recs >= 2 and final < max_recs), views
 
 
 def _bench_graph_ba():
