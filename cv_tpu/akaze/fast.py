@@ -781,6 +781,7 @@ class DeviceExtractor:
         dedup_scan_cap: int = 1024,
         topk_method: str = "compact",
         onehot_mode: str | None = None,
+        diffusion_dtype=None,
     ):
         self.config = config or Akaze()
         self.candidate_budget = candidate_budget
@@ -810,6 +811,10 @@ class DeviceExtractor:
                 "highest" if jax.default_backend() == "cpu" else "pgather"
             )
         self.onehot_mode = onehot_mode
+        # Opt-in reduced-precision diffusion (e.g. jnp.bfloat16): halves the
+        # HBM traffic of the scale-space build at a small, bounded keypoint
+        # drift — NOT golden-exact; see build_scale_space.  Off by default.
+        self.diffusion_dtype = diffusion_dtype
         from .extract import AkazeExtractor
 
         self._helper = AkazeExtractor(self.config)
@@ -821,7 +826,9 @@ class DeviceExtractor:
         cfg = self.config
         b, h, w = images.shape
         specs = self._helper.specs(h, w)
-        planes = build_scale_space(cfg, specs, images)
+        planes = build_scale_space(
+            cfg, specs, images, diffusion_dtype=self.diffusion_dtype
+        )
         k = self.candidate_budget
         cand = stage_candidates(cfg, specs, planes, k, self.topk_method)
         cand = stage_dedup(cand, k, self.dedup_scan_cap)

@@ -100,6 +100,7 @@ def build_scale_space(
     config: Akaze,
     specs: list[EvolutionSpec],
     image: jnp.ndarray,
+    diffusion_dtype=None,
 ) -> list[EvolutionPlanes]:
     """Build all evolutions and their detector responses for a batch of
     frames (lib.rs:193-258 + detector_response.rs).
@@ -114,9 +115,21 @@ def build_scale_space(
         image, config.contrast_percentile, 1.0, config.contrast_factor_num_bins
     )
 
+    # Optional reduced-precision DIFFUSION: the FED chains + per-evolution
+    # blur/Scharr/conductivity are HBM-bandwidth-bound; running them in
+    # bfloat16 halves that traffic.  Detection math downstream (detector
+    # response, extrema, refinement, descriptors) always runs in f32 on
+    # f32-cast planes.  NOT golden-exact — keypoint counts shift slightly
+    # (the nonlinear diffusion is a smoothing operator, so the drift is
+    # bounded; tolerance policy + measurements in
+    # experiments/exp_r3_bf16.py and docs/perf-notes.md).  Opt-in via
+    # DeviceExtractor(diffusion_dtype='bfloat16').
+    dd = diffusion_dtype
+    image_d = image.astype(dd) if dd is not None else image
+
     lts = []
     lsmooths = []
-    lt = ops.gaussian_blur(image, config.base_scale_offset)
+    lt = ops.gaussian_blur(image_d, config.base_scale_offset)
     lts.append(lt)
     lsmooths.append(lt)  # evolution 0: Lsmooth = Lt (lib.rs:199-201)
     contrast = contrast0
@@ -127,11 +140,14 @@ def build_scale_space(
         lsmooth = ops.gaussian_blur(lt, 1.0)
         lx = ops.scharr_horizontal(lsmooth, 1)
         ly = ops.scharr_vertical(lsmooth, 1)
-        flow = ops.pm_g2(lx, ly, contrast)
+        flow = ops.pm_g2(lx, ly, contrast.astype(lt.dtype))
         for tau in specs[i].fed_tau_steps:
-            lt = ops.fed_step(lt, flow, jnp.float32(tau))
+            lt = ops.fed_step(lt, flow, jnp.asarray(tau, lt.dtype))
         lts.append(lt)
         lsmooths.append(lsmooth)
+    if dd is not None:
+        lts = [x.astype(jnp.float32) for x in lts]
+        lsmooths = [x.astype(jnp.float32) for x in lsmooths]
 
     # Detector response: multiscale derivatives + Hessian determinant
     # (detector_response.rs:8-57). Lx/Ly are *overwritten* with the
