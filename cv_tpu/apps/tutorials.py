@@ -8,8 +8,10 @@ from __future__ import annotations
 
 import sys
 
-KITTI0 = "/root/reference/res/0000000000.png"
-KITTI14 = "/root/reference/res/0000000014.png"
+from cv_tpu.utils.fixtures import fixture_path
+
+KITTI0 = fixture_path("0000000000.png")
+KITTI14 = fixture_path("0000000014.png")
 # K_00 from res/calib_cam_to_cam.txt, as used by chapter 5.
 KITTI_INTRINSICS = (9.842439e2, 9.808141e2, 6.9e2, 2.331966e2)
 

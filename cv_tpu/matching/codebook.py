@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import os
 
+from cv_tpu.utils.fixtures import fixture_path
+
 import numpy as np
 
 from .hamming import DESCRIPTOR_BITS, DESCRIPTOR_WORDS
@@ -126,8 +128,8 @@ def training_descriptors(max_per_frame: int = 4096) -> np.ndarray:
 
     ex = AkazeExtractor(Akaze(maximum_features=max_per_frame))
     frames = [
-        to_gray_f32(load_gray("/root/reference/res/0000000000.png")),
-        to_gray_f32(load_gray("/root/reference/res/0000000014.png")),
+        to_gray_f32(load_gray(fixture_path("0000000000.png"))),
+        to_gray_f32(load_gray(fixture_path("0000000014.png"))),
     ]
     for seed in (0, 1, 2):
         images, _, _ = render_sequence(

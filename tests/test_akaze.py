@@ -1,6 +1,7 @@
 """AKAZE golden regression tests — the port of the reference's frozen-output
 integration test (akaze/tests/estimate_pose.rs:24-77)."""
 
+from cv_tpu.utils.fixtures import fixture_path
 import numpy as np
 import pytest
 
@@ -8,8 +9,8 @@ from cv_tpu.akaze import Akaze, AkazeExtractor, allocate_evolutions, load_gray
 from cv_tpu.akaze.config import fed_tau_by_process_time
 from cv_tpu.matching import match_descriptors
 
-KITTI0 = "/root/reference/res/0000000000.png"
-KITTI14 = "/root/reference/res/0000000014.png"
+KITTI0 = fixture_path("0000000000.png")
+KITTI14 = fixture_path("0000000014.png")
 
 
 class TestConfig:

@@ -1,6 +1,7 @@
 """Regression tests for the fully-device batched extractor: it must agree
 with the exact host path on the KITTI goldens (counts AND descriptor bits)."""
 
+from cv_tpu.utils.fixtures import fixture_path
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -8,8 +9,8 @@ import pytest
 from cv_tpu.akaze import Akaze, load_gray, to_gray_f32
 from cv_tpu.akaze.fast import DeviceExtractor
 
-KITTI0 = "/root/reference/res/0000000000.png"
-KITTI14 = "/root/reference/res/0000000014.png"
+KITTI0 = fixture_path("0000000000.png")
+KITTI14 = fixture_path("0000000014.png")
 
 
 @pytest.fixture(scope="module")

@@ -11,13 +11,14 @@ use last-ULP-scale tolerances and the keypoint-set comparisons allow a
 <=0.2% fringe of near-tie flips; counts and golden anchors are exact.
 """
 
+from cv_tpu.utils.fixtures import fixture_path
 import numpy as np
 import pytest
 
 import oracle_akaze as oracle
 
-KITTI_0 = "/root/reference/res/0000000000.png"
-KITTI_14 = "/root/reference/res/0000000014.png"
+KITTI_0 = fixture_path("0000000000.png")
+KITTI_14 = fixture_path("0000000014.png")
 
 
 def _plane_close(a, b, rel=2e-5, name=""):

@@ -2,6 +2,7 @@
 five-point solver + P3P + triangulation, apps smoke tests, and host/device
 math cross-checks."""
 
+from cv_tpu.utils.fixtures import fixture_path
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -141,7 +142,7 @@ class TestAppsSmoke:
         from cv_tpu.apps.kpdraw import main
 
         out = tmp_path / "kp.png"
-        main(["--threshold", "0.01", "/root/reference/res/0000000000.png", str(out)])
+        main(["--threshold", "0.01", fixture_path("0000000000.png"), str(out)])
         assert out.exists() and out.stat().st_size > 1000
 
     def test_tutorials_ch2(self, tmp_path):
@@ -160,7 +161,7 @@ class TestAppsSmoke:
                 "--x-focal", "984.2439", "--y-focal", "980.8141",
                 "--x-center", "690.0", "--y-center", "233.1966",
                 "--radial-distortion", "0.0",
-                "/root/reference/res/0000000000.png",
+                fixture_path("0000000000.png"),
             ]
         )
         assert (tmp_path / "vslam.cvr").exists()

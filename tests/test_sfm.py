@@ -5,6 +5,7 @@ a synthetic multi-camera scene with exact descriptors must produce a
 reconstruction with correct relative poses (up to scale + world frame).
 """
 
+from cv_tpu.utils.fixtures import fixture_path
 import numpy as np
 import pytest
 
@@ -504,8 +505,8 @@ class TestRealImageFrontend:
     colors -> calibrate -> LSH insert (lib.rs:790-809, 2195-2236), with both
     the exact extractor and the device FastAkazeExtractor."""
 
-    KITTI0 = "/root/reference/res/0000000000.png"
-    KITTI14 = "/root/reference/res/0000000014.png"
+    KITTI0 = fixture_path("0000000000.png")
+    KITTI14 = fixture_path("0000000014.png")
     # KITTI cam 0 intrinsics (res/calib_cam_to_cam.txt K_00).
     INTR = (9.842439e2, 9.808141e2, 6.9e2, 2.331966e2)
 

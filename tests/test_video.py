@@ -1,6 +1,7 @@
 """Tests for the facade's capture module (cv_tpu.video) — the counterpart
 of the reference's ``cv::video`` re-export (cv/src/lib.rs:140-148)."""
 
+from cv_tpu.utils.fixtures import fixture_path
 import numpy as np
 import pytest
 
@@ -9,7 +10,11 @@ from cv_tpu.video import CameraSource, ImageSequenceSource, VideoFileSource
 
 class TestImageSequenceSource:
     def test_glob_kitti_pair(self):
-        src = ImageSequenceSource("/root/reference/res/*.png")
+        import os
+
+        src = ImageSequenceSource(
+            os.path.join(os.path.dirname(fixture_path("0000000000.png")), "*.png")
+        )
         frames = list(src)
         assert len(src) == len(frames) == 2
         for f in frames:
@@ -18,8 +23,8 @@ class TestImageSequenceSource:
 
     def test_explicit_paths_keep_order(self):
         paths = [
-            "/root/reference/res/0000000014.png",
-            "/root/reference/res/0000000000.png",
+            fixture_path("0000000014.png"),
+            fixture_path("0000000000.png"),
         ]
         src = ImageSequenceSource(paths)
         assert [p.name for p in src.paths] == [
