@@ -1,7 +1,14 @@
 """Driver benchmark: AKAZE extract + match throughput on the KITTI pair.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints the flagship JSON line
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+immediately after (and flushed from) the extract+match phase, then runs the
+secondary phases (SfM engine, pose pipeline, merge, RANSAC, BA) under a
+wall-clock budget (BENCH_BUDGET_S, default 300 s) and re-prints the same
+line extended with their numbers.  Parsing either the first or the last
+JSON line of stdout yields a valid record even if the process is killed
+mid-run (round-3 post-mortem: one end-of-run print + a driver timeout
+recorded nothing).
 
 The metric is frames/sec/chip for the fully-device batched AKAZE extraction
 (cv_tpu.akaze.fast.DeviceExtractor) plus brute-force Hamming matching of
@@ -35,6 +42,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 from cv_tpu.akaze import Akaze, load_gray, to_gray_f32
 from cv_tpu.akaze.fast import DeviceExtractor
 from cv_tpu.matching import distance_matrix
+from cv_tpu.utils.fixtures import fixture_path
 
 import os
 
@@ -42,10 +50,24 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 TIMED_ITERS = 5
 BASELINE_FPS = 1000.0
 
+# Wall-clock discipline (round-3 post-mortem: the driver's capture window
+# timed out before the single end-of-run print, recording nothing).  The
+# flagship JSON line is now printed AND flushed the moment the extract+match
+# phase completes; every later phase runs only if its estimated cost fits
+# the remaining budget, and a final, complete JSON line re-prints the same
+# flagship metric plus whatever extras landed.  A stall in any late phase
+# can no longer zero the round.
+T0 = time.time()
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "300"))
+
+
+def _remaining_s():
+    return BENCH_BUDGET_S - (time.time() - T0)
+
 
 def main():
-    img0 = to_gray_f32(load_gray("/root/reference/res/0000000000.png"))
-    img14 = to_gray_f32(load_gray("/root/reference/res/0000000014.png"))
+    img0 = to_gray_f32(load_gray(fixture_path("0000000000.png")))
+    img14 = to_gray_f32(load_gray(fixture_path("0000000014.png")))
     batch = jnp.stack([jnp.asarray(img0), jnp.asarray(img14)] * (BATCH // 2))
 
     extractor = DeviceExtractor(
@@ -90,58 +112,76 @@ def main():
         dt = (time.time() - t0) / TIMED_ITERS
         best_fps = max(best_fps, BATCH / dt)
 
-    tunnel_rtt_ms = _bench_tunnel_rtt()
-    ransac_fits_per_sec = _bench_ransac()
-    ba_iters_per_sec = _bench_graph_ba()
-    try:
-        pose_pipeline_ms, pose_inliers = _bench_pose_pipeline()
-    except Exception:
-        pose_pipeline_ms, pose_inliers = None, None
-    try:
-        sfm_fps, sfm_views, sfm_landmarks = _bench_sfm_end_to_end()
-    except Exception:
-        sfm_fps, sfm_views, sfm_landmarks = None, None, None
-    try:
-        merge_ok, merge_views = _bench_sfm_merge()
-    except Exception:
-        merge_ok, merge_views = None, None
-
     value = best_fps if golden_ok else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "kitti_akaze_extract_match_fps_per_chip",
-                "value": round(value, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(value / BASELINE_FPS, 4),
-                "golden_counts_ok": bool(golden_ok),
-                "keypoints": [int(counts[0]), int(counts[1])],
-                "matches": int(n_matches[0]),
-                # Median host<->device round trip (trivial jit + 1 fetch).
-                # Latency-bound metrics below (pose_pipeline_ms, SfM fps)
-                # include one or more of these per step: on this axon
-                # tunnel the RTT is ~25-30 ms, which dominates them — the
-                # same code co-located with the TPU would subtract it.
-                "tunnel_rtt_ms": round(tunnel_rtt_ms, 2),
-                "ransac_pose_fits_per_sec": round(ransac_fits_per_sec, 1),
-                "ba_iters_per_sec": round(ba_iters_per_sec, 1),
-                "pose_pipeline_ms": (
-                    round(pose_pipeline_ms, 2) if pose_pipeline_ms else None
-                ),
-                "pose_pipeline_inliers": pose_inliers,
-                "sfm_end_to_end_fps": round(sfm_fps, 2) if sfm_fps else None,
-                "sfm_views": sfm_views,
-                "sfm_landmarks": sfm_landmarks,
-                # Loop-closure merge scenario: two disjoint trajectory
-                # segments form separate reconstructions; a mid-trajectory
-                # revisit must retrieve BOTH via the LSH sketch shortlist +
-                # descriptor rerank and trigger try_merge_reconstructions
-                # (lib.rs:2116-2193 parity on the driver-visible path).
-                "sfm_merge_ok": merge_ok,
-                "sfm_merge_views": merge_views,
-            }
-        )
-    )
+    result = {
+        "metric": "kitti_akaze_extract_match_fps_per_chip",
+        "value": round(value, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(value / BASELINE_FPS, 4),
+        "golden_counts_ok": bool(golden_ok),
+        "keypoints": [int(counts[0]), int(counts[1])],
+        "matches": int(n_matches[0]),
+    }
+    # The flagship line lands NOW — a stall in any later phase can no
+    # longer cost the round its number.
+    print(json.dumps(result), flush=True)
+
+    # Extra phases, most important first, each gated on the remaining
+    # wall-clock budget (estimates are warm-cache measurements; a cold
+    # compile overshoots its phase but the gate still bounds the total).
+    skipped = []
+    phase_s = {"extract_match": round(time.time() - T0, 1)}
+
+    def phase(name, est_s, fn):
+        if _remaining_s() < est_s:
+            skipped.append(name)
+            return None
+        t = time.time()
+        try:
+            return fn()
+        except Exception:
+            skipped.append(name + ":error")
+            return None
+        finally:
+            phase_s[name] = round(time.time() - t, 1)
+
+    # Median host<->device round trip (trivial jit + 1 fetch).
+    # Latency-bound metrics below (pose_pipeline_ms, SfM fps) include one
+    # or more of these per step: on this axon tunnel the RTT is ~25-30 ms,
+    # which dominates them — the same code co-located with the TPU would
+    # subtract it.
+    rtt = phase("tunnel_rtt", 3, _bench_tunnel_rtt)
+    result["tunnel_rtt_ms"] = round(rtt, 2) if rtt is not None else None
+
+    sfm = phase("sfm_end_to_end", 150, _bench_sfm_end_to_end)
+    result["sfm_end_to_end_fps"] = round(sfm[0], 2) if sfm else None
+    result["sfm_views"] = sfm[1] if sfm else None
+    result["sfm_landmarks"] = sfm[2] if sfm else None
+
+    pp = phase("pose_pipeline", 30, _bench_pose_pipeline)
+    result["pose_pipeline_ms"] = round(pp[0], 2) if pp else None
+    result["pose_pipeline_inliers"] = pp[1] if pp else None
+
+    # Loop-closure merge scenario: two disjoint trajectory segments form
+    # separate reconstructions; a mid-trajectory revisit must retrieve
+    # BOTH via the LSH sketch shortlist + descriptor rerank and trigger
+    # try_merge_reconstructions (lib.rs:2116-2193 parity on the
+    # driver-visible path).
+    mg = phase("sfm_merge", 90, _bench_sfm_merge)
+    result["sfm_merge_ok"] = mg[0] if mg else None
+    result["sfm_merge_views"] = mg[1] if mg else None
+
+    rs = phase("ransac", 20, _bench_ransac)
+    result["ransac_pose_fits_per_sec"] = round(rs, 1) if rs is not None else None
+
+    ba = phase("graph_ba", 15, _bench_graph_ba)
+    result["ba_iters_per_sec"] = round(ba, 1) if ba is not None else None
+
+    if skipped:
+        result["skipped_phases"] = skipped
+    result["phase_s"] = phase_s
+    result["bench_wall_s"] = round(time.time() - T0, 1)
+    print(json.dumps(result), flush=True)
 
 
 def _bench_tunnel_rtt():
@@ -225,8 +265,8 @@ def _bench_pose_pipeline():
     from cv_tpu.triangulate import linear_eigen
 
     ex = FastAkazeExtractor(Akaze.sparse(), max_features=512)
-    kp0, w0 = ex.extract(load_gray("/root/reference/res/0000000000.png"))
-    kp14, w14 = ex.extract(load_gray("/root/reference/res/0000000014.png"))
+    kp0, w0 = ex.extract(load_gray(fixture_path("0000000000.png")))
+    kp14, w14 = ex.extract(load_gray(fixture_path("0000000014.png")))
     d = np.asarray(distance_matrix(jnp.asarray(w0), jnp.asarray(w14)))
     nn = np.argsort(d, axis=1)[:, :2]
     d0 = d[np.arange(len(d)), nn[:, 0]]
@@ -369,8 +409,15 @@ def _bench_sfm_end_to_end():
         )
         feed = engine.add_feed(intr)
         t0 = time.time()
-        for img in images:
-            engine.add_frame(feed, img)
+        # Pipelined frontend: frame n+1's extraction is dispatched before
+        # frame n's engine work, so the device computes it during the
+        # host-side gaps of the engine logic (engine.prefetch_extract).
+        token = engine.prefetch_extract(feed, images[0])
+        for nxt in images[1:]:
+            nxt_token = engine.prefetch_extract(feed, nxt)
+            engine.add_frame(feed, token)
+            token = nxt_token
+        engine.add_frame(feed, token)
         return engine, time.time() - t0
 
     # Share one extractor between passes (its jit cache is per instance),
@@ -503,8 +550,8 @@ def stages_main(batch_size=BATCH):
     from cv_tpu.akaze import fast
     from cv_tpu.akaze.scale_space import build_scale_space, EvolutionPlanes
 
-    img0 = to_gray_f32(load_gray("/root/reference/res/0000000000.png"))
-    img14 = to_gray_f32(load_gray("/root/reference/res/0000000014.png"))
+    img0 = to_gray_f32(load_gray(fixture_path("0000000000.png")))
+    img14 = to_gray_f32(load_gray(fixture_path("0000000014.png")))
     batch = jnp.stack([jnp.asarray(img0), jnp.asarray(img14)] * (batch_size // 2))
 
     ex = DeviceExtractor(Akaze.sparse(), candidate_budget=256, max_features=512)
@@ -599,7 +646,7 @@ def filters_main():
     which measure the same two kernel sizes on the same image)."""
     from cv_tpu.ops import image as ops
 
-    img = jnp.asarray(to_gray_f32(load_gray("/root/reference/res/0000000000.png")))
+    img = jnp.asarray(to_gray_f32(load_gray(fixture_path("0000000000.png"))))
     timings = {}
     for size in (7, 71):
         kernel = ops.gaussian_kernel(size / 4.0, size)

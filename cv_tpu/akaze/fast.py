@@ -745,10 +745,23 @@ class FastAkazeExtractor:
         batched device->host fetch — through a remote-device tunnel each
         fetch costs ~tens of ms, so one fetch instead of eight dominates
         per-frame latency."""
+        return self.fetch_extract(self.dispatch_extract(image))
+
+    def dispatch_extract(self, image: np.ndarray):
+        """Phase 1 of :meth:`extract_with_sketch`: enqueue the device
+        extraction and return unfetched device arrays.  Lets a caller
+        pipeline frame n+1's extraction behind frame n's engine work
+        (``VSlam.prefetch_extract``) — the device runs the extract during
+        host-side gaps instead of the host blocking on it."""
         from .extract import to_gray_f32
 
         img = to_gray_f32(image)
-        fs, sketch = self._dev.extract_sketch(jnp.asarray(img)[None])
+        return self._dev.extract_sketch(jnp.asarray(img)[None])
+
+    def fetch_extract(self, handle):
+        """Phase 2: one batched device->host fetch of a
+        :meth:`dispatch_extract` handle -> ``(kp dict, words, sketch)``."""
+        fs, sketch = handle
         host = jax.device_get(
             (fs.valid[0], fs.point[0], fs.response[0], fs.size[0],
              fs.angle[0], fs.octave[0], fs.class_id[0], fs.words[0], sketch)
@@ -807,8 +820,10 @@ class DeviceExtractor:
         #   'pallas'/'bf16x3'/'bf16x3k'  measured losers, kept for experiments
         #              (device timings in docs/perf-notes.md round-3)
         if onehot_mode is None:
+            # 'pgather' relies on TPU-only Mosaic dynamic_gather; any other
+            # backend (CPU, GPU) gets the portable XLA one-hot path.
             onehot_mode = (
-                "highest" if jax.default_backend() == "cpu" else "pgather"
+                "pgather" if jax.default_backend() == "tpu" else "highest"
             )
         self.onehot_mode = onehot_mode
         # Opt-in reduced-precision diffusion (e.g. jnp.bfloat16): halves the

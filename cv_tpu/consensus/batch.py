@@ -62,7 +62,7 @@ class BatchConsensus:
     # ARRSAC-style preemptive scoring (arrsac evaluates hypotheses on data
     # blocks and discards losers before seeing all points): when
     # ``prescore_matches`` > 0, every candidate model is first scored on
-    # only the first ``prescore_matches`` data rows and only the best
+    # a key-randomized block of ``prescore_matches`` data rows and only the best
     # ``prescore_keep`` models (by subset inlier count, ties toward lower
     # subset residual) graduate to full scoring.  The final selection over
     # survivors stays exact two-stage lexicographic.  At the engine's
@@ -102,14 +102,25 @@ class BatchConsensus:
         return estimator.estimate(sampled)
 
     @partial(jax.jit, static_argnames=("self", "estimator"))
-    def _prescore_stage(self, estimator, models, data, valid_row):
+    def _prescore_stage(self, key, estimator, models, data, valid_row):
         """Preemption: keep the ``prescore_keep`` most promising models by
-        scoring only the first ``prescore_matches`` rows (see class doc).
-        Returns a models pytree with batch shape (prescore_keep, 1)."""
+        scoring only a RANDOM block of ``prescore_matches`` rows (see class
+        doc).  The block is drawn with the consensus PRNG key — ARRSAC's
+        blocks are randomized, and a deterministic first-rows block is
+        response-biased on P3P paths that feed matches in feature order: a
+        spatially degenerate block (strongest features on one plane) could
+        preempt the true pose before full scoring.  Valid rows are preferred
+        via masked Gumbel top-k (invalid rows only fill the block when fewer
+        than ``prescore_matches`` valid rows exist; their valid_row gate
+        still excludes them from counts).  Returns a models pytree with
+        batch shape (prescore_keep, 1)."""
         p = self.prescore_matches
-        sub = jax.tree_util.tree_map(lambda x: x[:p], data)
+        n = valid_row.shape[0]
+        g = jnp.where(valid_row, jax.random.gumbel(key, (n,)), -jnp.inf)
+        _, bidx = jax.lax.top_k(g, min(p, n))
+        sub = jax.tree_util.tree_map(lambda x: x[bidx], data)
         res = estimator.residual(models, sub)  # (H, M, P)
-        inliers = (res < self.threshold) & valid_row[:p] & jnp.isfinite(res)
+        inliers = (res < self.threshold) & valid_row[bidx] & jnp.isfinite(res)
         counts = jnp.sum(inliers, axis=-1).reshape(-1)
         total = jnp.sum(jnp.where(inliers, res, 0.0), axis=-1).reshape(-1)
         # Composite preemption key: counts are small ints (<= p), and the
@@ -191,7 +202,8 @@ class BatchConsensus:
                 self.prescore_matches > 0
                 and n_hyp * estimator.models_per_sample > self.prescore_keep
             ):
-                models = self._prescore_stage(estimator, models, data, valid_row)
+                pk = jax.random.fold_in(k, 0x9E3779B9)  # block != sample draws
+                models = self._prescore_stage(pk, estimator, models, data, valid_row)
             return self._score_stage(estimator, models, data, valid_row)
 
         # The first round consumes ``key`` itself so refit_rounds=0 draws

@@ -62,6 +62,17 @@ def _pose_from_device(p: Isometry3):
     return (np.asarray(r, np.float64), np.asarray(t, np.float64))
 
 
+class _PrefetchedFrame:
+    """Token from :meth:`VSlam.prefetch_extract`: the source image plus the
+    unfetched device arrays of its already-dispatched extraction."""
+
+    __slots__ = ("image", "handle")
+
+    def __init__(self, image, handle):
+        self.image = image
+        self.handle = handle
+
+
 def _fetch(*arrays):
     """One tunnel round trip for several device arrays: ``device_get``
     issues ``copy_to_host_async`` on every leaf before blocking, so N leaves
@@ -319,9 +330,24 @@ class VSlam:
     def add_feed(self, intrinsics: CameraIntrinsicsK1Distortion) -> int:
         return self.data.feeds.insert(Feed(intrinsics=intrinsics, frames=[]))
 
-    def add_frame(self, feed: int, image: np.ndarray) -> int:
+    def prefetch_extract(self, feed: int, image: np.ndarray):
+        """Enqueue ``image``'s device extraction NOW and return a token that
+        :meth:`add_frame` accepts in place of the image.
+
+        TPU-first frame pipelining: the extractor program for frame n+1 runs
+        on the device while the host walks frame n's engine logic (device
+        programs execute in dispatch order, so by the time ``add_frame``
+        fetches the token the extract has long finished).  Falls back to a
+        plain deferred-image token for extractors without a dispatch/fetch
+        split."""
+        if hasattr(self._extractor, "dispatch_extract"):
+            return _PrefetchedFrame(image, self._extractor.dispatch_extract(image))
+        return _PrefetchedFrame(image, None)
+
+    def add_frame(self, feed: int, image) -> int:
         """Extract features, add the frame, and attempt localization
-        (lib.rs:790-809)."""
+        (lib.rs:790-809).  ``image``: an array, or a token from
+        :meth:`prefetch_extract`."""
         descriptors, bearings, responses, colors, sketch = self.kps_descriptors(
             self.data.feeds[feed].intrinsics, image
         )
@@ -340,12 +366,24 @@ class VSlam:
         self.try_localize(frame, reconstruction_frames, free_frames)
         return frame
 
-    def kps_descriptors(self, intrinsics, image: np.ndarray):
+    def kps_descriptors(self, intrinsics, image):
         """AKAZE extraction + bicubic color sampling + calibration
         (lib.rs:2195-2236).  Calibration runs on host for the built-in
         camera models; the frame sketch is fused into the extractor program
-        when the extractor supports it (zero extra dispatches)."""
-        if hasattr(self._extractor, "extract_with_sketch"):
+        when the extractor supports it (zero extra dispatches).  ``image``
+        may be a :meth:`prefetch_extract` token, in which case only the
+        fetch (or, without dispatch support, the whole extract) happens
+        here."""
+        if isinstance(image, _PrefetchedFrame):
+            token, image = image, image.image
+            if token.handle is not None:
+                kp, words, sketch = self._extractor.fetch_extract(token.handle)
+            elif hasattr(self._extractor, "extract_with_sketch"):
+                kp, words, sketch = self._extractor.extract_with_sketch(image)
+            else:
+                kp, words = self._extractor.extract(image)
+                sketch = None
+        elif hasattr(self._extractor, "extract_with_sketch"):
             kp, words, sketch = self._extractor.extract_with_sketch(image)
         else:
             kp, words = self._extractor.extract(image)

@@ -1,6 +1,12 @@
 """Round-3 device probes: isolate why pallas_fed 500s and what the select
 kernels cost standalone.
 
+HISTORICAL / NON-RUNNABLE: the fed1/fedfull/deriv phases import
+cv_tpu.akaze.pallas_scale, which these probes' own measurements condemned
+(60x slower than XLA) and which was deleted in the same round.  The numbers
+live in docs/perf-notes.md (round-3 "device verdicts"); the script is kept
+as the record of how they were taken.  The `select` phase still runs.
+
 Phases:
   fed1    — single-tau fed_chain compile+time (octave-0 shape)
   fedfull — full 3-tau chain (evolution 1)

@@ -114,3 +114,46 @@ class TestDedupScanCapOverflow:
 
         d, _ = cKDTree(pts_c).query(pts_e)
         assert d.max() < 1e-3
+
+
+class TestPrefetchPipeline:
+    """dispatch_extract/fetch_extract must equal extract_with_sketch, and the
+    engine's prefetch_extract token must flow through add_frame untouched
+    (the TPU frame pipeline: extract n+1 overlaps engine work of n)."""
+
+    def test_dispatch_fetch_equals_extract_with_sketch(self):
+        from cv_tpu.akaze.fast import FastAkazeExtractor
+
+        rng = np.random.default_rng(0)
+        img = (rng.uniform(0, 255, (128, 160)).astype(np.uint8))
+        ex = FastAkazeExtractor(
+            Akaze(detector_threshold=0.001), candidate_budget=128,
+            max_features=128,
+        )
+        kp_a, w_a, sk_a = ex.extract_with_sketch(img)
+        kp_b, w_b, sk_b = ex.fetch_extract(ex.dispatch_extract(img))
+        np.testing.assert_array_equal(w_a, w_b)
+        np.testing.assert_array_equal(sk_a, sk_b)
+        for k in kp_a:
+            np.testing.assert_array_equal(kp_a[k], kp_b[k])
+
+    def test_engine_prefetch_token(self):
+        from cv_tpu.akaze.fast import FastAkazeExtractor
+        from cv_tpu.camera import CameraIntrinsics, CameraIntrinsicsK1Distortion
+        from cv_tpu.sfm import VSlam, VSlamSettings
+
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 255, (128, 160)).astype(np.uint8)
+        settings = VSlamSettings(akaze_threshold=0.001, tracking_features=128)
+        engine = VSlam(settings=settings, seed=0, extractor_cls=FastAkazeExtractor)
+        intr = CameraIntrinsicsK1Distortion.new(
+            CameraIntrinsics.from_values(120.0, 120.0, 80.0, 64.0), 0.0
+        )
+        feed = engine.add_feed(intr)
+        token = engine.prefetch_extract(feed, img)
+        assert token.handle is not None
+        frame = engine.add_frame(feed, token)
+        plain = engine.add_frame(feed, img)
+        fa, fb = engine.data.frames[frame], engine.data.frames[plain]
+        np.testing.assert_array_equal(fa.descriptors, fb.descriptors)
+        np.testing.assert_array_equal(fa.sketch, fb.sketch)
