@@ -142,8 +142,13 @@ def warm_main():
                        extractor_cls=lambda *a, **k: extractor)
         feed = engine.add_feed(intr)
         t0 = time.time()
-        for img in images:
-            engine.add_frame(feed, img)
+        # Same pipelined frontend as bench._bench_sfm_end_to_end.
+        token = engine.prefetch_extract(feed, images[0])
+        for nxt in images[1:]:
+            nxt_token = engine.prefetch_extract(feed, nxt)
+            engine.add_frame(feed, token)
+            token = nxt_token
+        engine.add_frame(feed, token)
         return time.time() - t0, engine
 
     run()  # compile pass
