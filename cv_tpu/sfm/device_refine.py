@@ -34,6 +34,23 @@ from ..optimize import single_view_simple_optimize_l2
 from ..triangulate import linear_eigen
 
 
+def _optimize_l2(pose, bearings, points, active, rate, patience):
+    """The cascade's inner optimizer: the Pallas resident patience loop on
+    TPU (one kernel for the whole loop, ~8x the XLA while_loop whose ~50
+    small fused kernels per step dominated the engine's steady state —
+    docs/perf-notes.md round 4), the XLA loop elsewhere.  Both implement
+    single_view_optimizer.rs:80-135; they agree to float rounding."""
+    if jax.default_backend() == "tpu":
+        from ..optimize.pallas_loop import single_view_l2_resident
+
+        return single_view_l2_resident(
+            pose, bearings, points, active, rate, patience
+        )
+    return single_view_simple_optimize_l2(
+        pose, bearings, points, active, rate, patience
+    )
+
+
 def _consistency_mask(
     pose: Isometry3,
     bearings,  # (M, 3) new-frame bearings
@@ -120,7 +137,7 @@ def register_refine(
 
     def body(i, state):
         pose, active, counts = state
-        pose = single_view_simple_optimize_l2(
+        pose = _optimize_l2(
             pose, bearings, points, active, rate, patience
         )
         active = refiltered(pose)
@@ -131,7 +148,7 @@ def register_refine(
     pose, active, counts = jax.lax.fori_loop(
         0, filter_iterations, body, (pose0, init_active, counts0)
     )
-    pose = single_view_simple_optimize_l2(
+    pose = _optimize_l2(
         pose, bearings, points, active, rate, patience
     )
     fmask = consistent(pose) & match_valid

@@ -118,10 +118,36 @@ def _calibrate_host(intrinsics, pts: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _three_view_l2(poses, obs, valid, rate, iterations):
+    """:func:`three_view_simple_optimize_l2`, device-resident on TPU (one
+    Pallas kernel for the whole patience loop; the XLA while_loop's ~50
+    small kernels per step dominated two-/three-view init).  Elsewhere:
+    the XLA loop.  Both implement three_view_optimizer.rs:126-200."""
+    if jax.default_backend() == "tpu":
+        from ..optimize.pallas_loop import three_view_l2_resident
+
+        i1, i2 = poses[0].inverse(), poses[1].inverse()
+        o1r, o1t, o2r, o2t = three_view_l2_resident(
+            i1.rotation, i1.translation, i2.rotation, i2.translation,
+            obs, valid, float(rate), int(iterations),
+        )
+        return (
+            Isometry3(rotation=o1r, translation=o1t).inverse(),
+            Isometry3(rotation=o2r, translation=o2t).inverse(),
+        )
+    return three_view_simple_optimize_l2(poses, obs, valid, rate, iterations)
+
+
 @partial(jax.jit, static_argnames=("iterations",))
 def _three_view_batch_device(rot1, t1, rot2, t2, obs, valid, iterations):
     """Vmapped :func:`three_view_adaptive_optimize_l2` over K independent
-    constraint problems (three_view_optimizer.rs:203-272)."""
+    constraint problems (three_view_optimizer.rs:203-272).
+
+    Stays the XLA vmapped loop on ALL backends by measurement: vmapping
+    amortizes each step's fused kernels across the K problems (11.8 ms for
+    K=8 x 1000 iters on the v5e), while a Pallas grid runs the K resident
+    loops sequentially (13.3 ms) — exp_r4_optloop.py pallas_tv.  The
+    single-problem patience loops ARE resident kernels (pallas_loop.py)."""
 
     def one(r1, tt1, r2, tt2, o, v):
         o1, o2 = three_view_adaptive_optimize_l2(
@@ -677,7 +703,7 @@ class VSlam:
                 obs[:n] = np.asarray(triples)
                 valid = np.zeros(npad, bool)
                 valid[:n] = True
-                o1, o2 = three_view_simple_optimize_l2(
+                o1, o2 = _three_view_l2(
                     (_pose_to_device(fp), _pose_to_device(sp)),
                     jnp.asarray(obs),
                     jnp.asarray(valid),

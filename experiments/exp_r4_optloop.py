@@ -116,5 +116,80 @@ def main():
         print(f"  ftoc t: {np.asarray(out[0].translation)}")
 
 
+def pallas_main():
+    """Device timing: XLA while_loop vs the Pallas resident kernel."""
+    from cv_tpu.optimize.pallas_loop import single_view_l2_resident
+
+    print(f"backend: {jax.default_backend()}")
+    pose, bear, wp, valid = single_view_problem(m=512)
+    for iters in (1000, 4000):
+        ms, cs, ref = timeit(
+            single_view_simple_optimize_l2, pose, bear, wp, valid, 1e-3, iters
+        )
+        print(f"xla    iters={iters}: {ms:8.2f} ms  compile {cs:.0f}s")
+        ms, cs, out = timeit(
+            single_view_l2_resident, pose, bear, wp, valid, 1e-3, iters
+        )
+        print(f"pallas iters={iters}: {ms:8.2f} ms  compile {cs:.0f}s")
+        d = max(
+            float(np.abs(np.asarray(ref.rotation) - np.asarray(out.rotation)).max()),
+            float(np.abs(np.asarray(ref.translation) - np.asarray(out.translation)).max()),
+        )
+        print(f"  maxdiff vs xla: {d:.2e}")
+
+
+
+
+def pallas_tv_main():
+    """Device timing: XLA vs resident three-view kernels."""
+    from cv_tpu.optimize import (
+        three_view_adaptive_optimize_l2 as xla_adaptive,
+        three_view_simple_optimize_l2 as xla_l2,
+    )
+    from cv_tpu.optimize.pallas_loop import (
+        three_view_adaptive_resident,
+        three_view_l2_resident,
+    )
+
+    print(f"backend: {jax.default_backend()}")
+    poses, obs, valid = three_view_problem(n=128)
+    i1, i2 = poses[0].inverse(), poses[1].inverse()
+    for iters in (1000,):
+        ms, cs, _ = timeit(xla_l2, poses, obs, valid, 1e-3, iters)
+        print(f"xla    tv_l2 iters={iters}: {ms:8.2f} ms compile {cs:.0f}s")
+        ms, cs, _ = timeit(
+            three_view_l2_resident,
+            i1.rotation, i1.translation, i2.rotation, i2.translation,
+            obs, valid, 1e-3, iters,
+        )
+        print(f"pallas tv_l2 iters={iters}: {ms:8.2f} ms compile {cs:.0f}s")
+        k = 8
+        obs_b = jnp.stack([obs] * k)
+        val_b = jnp.stack([valid] * k)
+        r1 = jnp.stack([i1.rotation] * k); t1 = jnp.stack([i1.translation] * k)
+        r2 = jnp.stack([i2.rotation] * k); t2 = jnp.stack([i2.translation] * k)
+
+        def xla_batch(r1, t1, r2, t2, o, v):
+            def one(a, b, c, d, e, f):
+                o1, o2 = xla_adaptive(
+                    (type(poses[0])(rotation=a, translation=b),
+                     type(poses[0])(rotation=c, translation=d)), e, f, iters)
+                return o1.rotation, o1.translation, o2.rotation, o2.translation
+            return jax.vmap(one)(r1, t1, r2, t2, o, v)
+
+        jb = jax.jit(xla_batch)
+        ms, cs, _ = timeit(jb, r1, t1, r2, t2, obs_b, val_b)
+        print(f"xla    tv_adaptive K=8 iters={iters}: {ms:8.2f} ms compile {cs:.0f}s")
+        ms, cs, _ = timeit(
+            three_view_adaptive_resident, r1, t1, r2, t2, obs_b, val_b, iters
+        )
+        print(f"pallas tv_adaptive K=8 iters={iters}: {ms:8.2f} ms compile {cs:.0f}s")
+
+
 if __name__ == "__main__":
-    main()
+    if "pallas_tv" in sys.argv:
+        pallas_tv_main()
+    elif "pallas" in sys.argv:
+        pallas_main()
+    else:
+        main()
