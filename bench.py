@@ -440,12 +440,16 @@ def _bench_sfm_end_to_end():
     return len(images) / dt, views, landmarks
 
 
-def _bench_sfm_merge(n_seg=5):
+def _bench_sfm_merge(n_seg=5, seed=5):
     """Revisit-triggers-merge scenario (experiments/exp_r3_merge.py):
     segment A and the trajectory's far end form two reconstructions (the
     viewpoint gap defeats cross-segment registration); mid-trajectory
     bridge frames retrieve both segments through the sketch shortlist +
     descriptor rerank and must merge them.  Returns (merged, final_views).
+
+    ``seed`` varies the rendered scene; tests/test_sfm.py gates the
+    scenario across multiple seeds (round-3 verdict: one tuned scenario is
+    thin evidence), the bench runs the canonical seed 5.
     """
     from cv_tpu.akaze.fast import FastAkazeExtractor
     from cv_tpu.apps.synth import render_sequence
@@ -455,7 +459,7 @@ def _bench_sfm_merge(n_seg=5):
     gap = int(2.7 * n_seg)
     n_total = n_seg + gap + n_seg
     images, (fx, fy, cx, cy), _ = render_sequence(
-        n_frames=n_total, height=512, width=640, n_points=1200, seed=5
+        n_frames=n_total, height=512, width=640, n_points=1200, seed=seed
     )
     seg_a = list(range(0, n_seg))
     seg_b = list(range(n_seg + gap, n_total))

@@ -514,6 +514,11 @@ def orient_mldb_onehot(
         )
         return words[:k_total], ok[:k_total], angle[:k_total]
 
+    if mode == "ptiles":
+        return _orient_mldb_ptiles(
+            planes, lvl, width, height, xf, yf, scale, pattern_size
+        )
+
     mode, _, rows = mode.partition("+")
     fused_rows = rows == "fused"
     use_k = mode == "bf16x3k"

@@ -239,3 +239,112 @@ def select_samples(
         out_shape=jax.ShapeDtypeStruct((k, c, ns), jnp.float32),
         interpret=interpret,
     )(rel_x, rel_y, patches)
+
+
+def _select_kernel_tiles(
+    lvl_ref, ty_ref, tx_ref,  # scalar-prefetch (K,) i32
+    relx_ref, rely_ref,       # (1, NS) window-relative, in [0, 256)
+    q00_ref, q01_ref, q10_ref, q11_ref,  # (1, C, P, P) plane quadrants
+    out_ref,                  # (1, C - c0, NS)
+    *, c, ns, c0,
+):
+    """Per-keypoint sample selection straight from the padded plane stack.
+
+    The 256x256 sampling window is the four (128, 128) plane quadrants
+    anchored at the keypoint's tile (ty, tx) — Blocked block indices from
+    scalar-prefetched per-keypoint tables, so Pallas pipelines (and, for
+    tile-sorted keypoints, SKIPS) the quadrant DMAs; no pre-cut patch
+    buffer exists at all.  The round-3 per-tile gather decomposition
+    extends to the 2x2 window: lane gather per quadrant column pair +
+    32-band masked reduce + sublane gather, samples on lanes throughout.
+    """
+    for cc in range(ns // P):
+        rx = relx_ref[0, cc * P : (cc + 1) * P]  # (P,) lanes, [0, 256)
+        ry = rely_ref[0, cc * P : (cc + 1) * P]
+        right = rx >= P
+        rx_l = jnp.where(right, rx - P, rx)
+        rx_b = jnp.broadcast_to(rx_l[None, :], (P, P))
+        bottom = ry >= P
+        ry_l = jnp.where(bottom, ry - P, ry)
+        q = ry_l // 8
+        r_b = jnp.broadcast_to((ry_l % 8)[None, :], (8, P))
+        qmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (P // 8, 8, P), 0)
+            == q[None, None, :]
+        )
+        for ch in range(c0, c):
+            # Horizontal select within each vertical half, then vertical.
+            def half(top_ref, bot_ref):
+                pt = top_ref[0, ch]
+                pb = bot_ref[0, ch]
+                ut = jnp.take_along_axis(pt, rx_b, axis=1)
+                ub = jnp.take_along_axis(pb, rx_b, axis=1)
+                u = jnp.where(bottom[None, :], ub, ut)  # (P, P)
+                w = jnp.sum(
+                    jnp.where(qmask, u.reshape(P // 8, 8, P), 0.0), axis=0
+                )
+                return jnp.take_along_axis(w, r_b, axis=0)[0]  # (P,)
+
+            v_left = half(q00_ref, q10_ref)
+            v_right = half(q01_ref, q11_ref)
+            v = jnp.where(right, v_right, v_left)
+            out_ref[0, ch - c0, cc * P : (cc + 1) * P] = v
+
+
+@partial(jax.jit, static_argnames=("interpret", "c0"))
+def select_samples_tiles(
+    planes: jnp.ndarray,  # (L, C, Hp, Wp) padded plane stack, Hp/Wp % 128 == 0
+    lvl: jnp.ndarray,  # (K,) i32 plane index
+    ty: jnp.ndarray,  # (K,) i32 window tile row (window = [128ty, 128ty+256))
+    tx: jnp.ndarray,  # (K,) i32 window tile col
+    rel_x: jnp.ndarray,  # (K, NS) i32 in [0, 256), window-relative
+    rel_y: jnp.ndarray,  # (K, NS) i32 in [0, 256)
+    interpret: bool = False,
+    c0: int = 0,
+) -> jnp.ndarray:
+    """vals[k, c - c0, s] = planes[lvl[k], c, 128*ty[k] + rel_y[k, s],
+    128*tx[k] + rel_x[k, s]] — the fused patch-cut + sample-select.
+
+    Callers should pass keypoints TILE-SORTED (by (lvl, ty, tx)): Pallas
+    skips a quadrant's DMA when consecutive grid steps map the same block,
+    so sorted keypoints pay each plane tile roughly once instead of four
+    quadrant fetches per keypoint.  Bit-exact f32 (pure gathers).
+    """
+    l, c, hp, wp = planes.shape
+    assert hp % P == 0 and wp % P == 0, (hp, wp)
+    k = lvl.shape[0]
+    ns = rel_x.shape[1]
+    assert ns % P == 0, ns
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    def quad(dy, dx):
+        return pl.BlockSpec(
+            (1, c, P, P),
+            lambda i, lvl_r, ty_r, tx_r, dy=dy, dx=dx: (
+                lvl_r[i], 0, ty_r[i] + dy, tx_r[i] + dx
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ns), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, ns), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            quad(0, 0), quad(0, 1), quad(1, 0), quad(1, 1),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c - c0, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        partial(_select_kernel_tiles, c=c, ns=ns, c0=c0),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, c - c0, ns), jnp.float32),
+        interpret=interpret,
+    )(lvl, ty, tx, rel_x, rel_y, planes, planes, planes, planes)

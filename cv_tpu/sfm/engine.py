@@ -612,6 +612,35 @@ class VSlam:
         )
         return cos_ok and incidence_ok
 
+    def _tri_robust_batch_init(
+        self, first_pose, second_pose, bc, bf, bs, max_cos, inc
+    ):
+        """Vectorized :meth:`is_tri_landmark_robust` over N common triples
+        (the init path's hot predicate: the scalar loop cost ~0.9 s of the
+        12-frame steady state).  Same math via the batch_geom kernels."""
+        n = len(bc)
+        rot = np.broadcast_to(
+            np.stack([np.eye(3), first_pose[0], second_pose[0]]), (n, 3, 3, 3)
+        )
+        trans = np.broadcast_to(
+            np.stack([np.zeros(3), first_pose[1], second_pose[1]]), (n, 3, 3)
+        )
+        bear = np.stack([bc, bf, bs], axis=1)  # (N, 3, 3)
+        mask = np.ones((n, 3), bool)
+        pts, ok = batch_geom.triangulate_batch(rot, trans, bear, mask)
+        cosd = batch_geom.reproject_cosine_batch(rot, trans, bear, mask, pts)
+        cos_ok = np.all(cosd < max_cos, axis=1)
+        # f_in_c = R1^T f, s_in_c = R2^T s (is_tri_landmark_robust's
+        # incidence terms, lib.rs:1341-1356).
+        f_in_c = bf @ first_pose[0]
+        s_in_c = bs @ second_pose[0]
+        incidence_ok = (
+            (1.0 - np.sum(bc * f_in_c, axis=1) > inc)
+            | (1.0 - np.sum(bc * s_in_c, axis=1) > inc)
+            | (1.0 - np.sum(f_in_c * s_in_c, axis=1) > inc)
+        )
+        return pts, ok & cos_ok & incidence_ok
+
     # -- three-view init (lib.rs:966-1304) --------------------------------------
     def init_reconstruction(self, center, options):
         two_views = []
@@ -637,30 +666,82 @@ class VSlam:
             ff = self.data.frames[first]
             fs = self.data.frames[second]
 
+            use_batch = self.triangulator is host_geom.triangulate_observations
+            if use_batch and common:
+                bc_all = np.stack([fc.bearings[c] for c, _, _ in common])
+                bf_all = np.stack([ff.bearings[f] for _, f, _ in common])
+                bs_all = np.stack([fs.bearings[s] for _, _, s in common])
+
             scales = []
-            for c, f, s in common:
-                bc, bf, bs = fc.bearings[c], ff.bearings[f], fs.bearings[s]
-                if not self.is_tri_landmark_robust(
-                    first_pose, second_pose, bc, bf, bs, 1.0,
+            if use_batch and common:
+                # Vectorized scale pass: one robustness batch + two O=2
+                # triangulation batches over all common triples.
+                _, rob = self._tri_robust_batch_init(
+                    first_pose, second_pose, bc_all, bf_all, bs_all, 1.0,
                     settings.robust_observation_incidence_minimum_cosine_distance,
-                ):
-                    continue
-                fp = host_geom.point_of(
-                    self.triangulator(
-                        [se3.identity(), first_pose], [bc, bf]
-                    )
                 )
-                sp = host_geom.point_of(
-                    self.triangulator(
-                        [se3.identity(), second_pose], [bc, bs]
-                    )
+                n_c = len(common)
+                eye_rot = np.broadcast_to(np.eye(3), (n_c, 3, 3))
+                zero_t = np.zeros((n_c, 3))
+                pts_f, ok_f = batch_geom.triangulate_batch(
+                    np.stack(
+                        [eye_rot, np.broadcast_to(first_pose[0], (n_c, 3, 3))],
+                        axis=1,
+                    ),
+                    np.stack(
+                        [zero_t, np.broadcast_to(first_pose[1], (n_c, 3))], axis=1
+                    ),
+                    np.stack([bc_all, bf_all], axis=1),
+                    np.ones((n_c, 2), bool),
                 )
-                if fp is None or sp is None:
-                    continue
-                ratio = float(fp @ fp) / float(sp @ sp)
-                if not np.isfinite(ratio) or ratio <= 0:
-                    continue
-                scales.append(ratio)
+                pts_s, ok_s = batch_geom.triangulate_batch(
+                    np.stack(
+                        [eye_rot, np.broadcast_to(second_pose[0], (n_c, 3, 3))],
+                        axis=1,
+                    ),
+                    np.stack(
+                        [zero_t, np.broadcast_to(second_pose[1], (n_c, 3))], axis=1
+                    ),
+                    np.stack([bc_all, bs_all], axis=1),
+                    np.ones((n_c, 2), bool),
+                )
+                with np.errstate(all="ignore"):
+                    fp_e = pts_f[:, :3] / pts_f[:, 3:4]
+                    sp_e = pts_s[:, :3] / pts_s[:, 3:4]
+                    ratio = np.sum(fp_e * fp_e, axis=1) / np.sum(
+                        sp_e * sp_e, axis=1
+                    )
+                pt_ok = (
+                    ok_f & ok_s
+                    & (pts_f[:, 3] != 0) & (pts_s[:, 3] != 0)
+                    & np.isfinite(fp_e).all(axis=1) & np.isfinite(sp_e).all(axis=1)
+                )
+                good = rob & pt_ok & np.isfinite(ratio) & (ratio > 0)
+                scales = [float(r) for r in ratio[good]]
+            else:
+                for c, f, s in common:
+                    bc, bf, bs = fc.bearings[c], ff.bearings[f], fs.bearings[s]
+                    if not self.is_tri_landmark_robust(
+                        first_pose, second_pose, bc, bf, bs, 1.0,
+                        settings.robust_observation_incidence_minimum_cosine_distance,
+                    ):
+                        continue
+                    fp = host_geom.point_of(
+                        self.triangulator(
+                            [se3.identity(), first_pose], [bc, bf]
+                        )
+                    )
+                    sp = host_geom.point_of(
+                        self.triangulator(
+                            [se3.identity(), second_pose], [bc, bs]
+                        )
+                    )
+                    if fp is None or sp is None:
+                        continue
+                    ratio = float(fp @ fp) / float(sp @ sp)
+                    if not np.isfinite(ratio) or ratio <= 0:
+                        continue
+                    scales.append(ratio)
             if len(scales) < settings.three_view_minimum_relative_scales:
                 log.info("not enough relative scales (%d)", len(scales))
                 continue
@@ -670,12 +751,21 @@ class VSlam:
             cur_second = se3.scale(second_pose, median_scale)
 
             def robust_triples(fp, sp, max_cos, inc):
+                cap = settings.three_view_optimization_landmarks
+                if use_batch and common:
+                    _, rob = self._tri_robust_batch_init(
+                        fp, sp, bc_all, bf_all, bs_all, max_cos, inc
+                    )
+                    idx = np.nonzero(rob)[0][:cap]
+                    return [
+                        (bc_all[i], bf_all[i], bs_all[i]) for i in idx
+                    ]
                 out = []
                 for c, f, s in common:
                     bc, bf, bs = fc.bearings[c], ff.bearings[f], fs.bearings[s]
                     if self.is_tri_landmark_robust(fp, sp, bc, bf, bs, max_cos, inc):
                         out.append((bc, bf, bs))
-                        if len(out) >= settings.three_view_optimization_landmarks:
+                        if len(out) >= cap:
                             break
                 return out
 

@@ -133,3 +133,68 @@ class TestSketchRecall:
             same.append(d[i])
             cross.extend(np.delete(d, i))
         assert np.mean(same) < np.mean(cross), (np.mean(same), np.mean(cross))
+
+
+@pytest.fixture(scope="module")
+def real_crop_words():
+    """Real-imagery retrieval set (VERDICT r3 item 6; this environment has
+    no real VIDEO — the two KITTI stills are the only real footage — so the
+    'scenes' are distinct crops of the real frames and each 'revisit' is
+    the same place re-seen a few pixels over with sensor noise and a gain
+    change: real texture, synthesized revisit)."""
+    import jax.numpy as jnp
+
+    from cv_tpu.akaze import Akaze, AkazeExtractor, load_gray
+    from cv_tpu.akaze.extract import to_gray_f32
+    from cv_tpu.utils.fixtures import kitti_pair
+
+    p0, p14 = kitti_pair()
+    imgs = [to_gray_f32(load_gray(p0)), to_gray_f32(load_gray(p14))]
+    ch, cw_ = 320, 416
+    ex = AkazeExtractor(Akaze(maximum_features=1024))
+    rng = np.random.default_rng(11)
+    out = []
+    # 6 crops per frame = 12 real 'scenes'.
+    for img in imgs:
+        h, w = img.shape
+        for gx in range(6):
+            x = int(gx * (w - cw_ - 8) / 5)
+            y = (h - ch) // 2
+            db = img[y : y + ch, x : x + cw_]
+            qx, qy = x + 5, y + 3  # revisit: 5,3 px over
+            q = img[qy : qy + ch, qx : qx + cw_]
+            q = np.clip(
+                q * 1.06 + rng.normal(0.0, 0.01, q.shape).astype(np.float32),
+                0, 1,
+            ).astype(np.float32)
+            _, w_db = ex.extract(jnp.asarray(db))
+            _, w_q = ex.extract(jnp.asarray(q))
+            out.append((np.asarray(w_db, np.uint32), np.asarray(w_q, np.uint32)))
+    return out
+
+
+@pytest.mark.slow
+class TestRealImageryRecall:
+    def test_reranked_recall_real(self, real_crop_words):
+        """Sketch shortlist + descriptor rerank on REAL imagery: a noisy,
+        shifted revisit must retrieve its own place among 12 real scenes
+        (>= 0.9, VERDICT r3 item 6)."""
+        import jax.numpy as jnp
+
+        cw = lsh.codewords()
+        db_words = [w for w, _ in real_crop_words]
+        sketches_db = np.stack(
+            [np.asarray(lsh.hash_bag(jnp.asarray(w), cw)) for w in db_words]
+        )
+        hits = 0
+        pool_cap = 6
+        for i, (_, wq) in enumerate(real_crop_words):
+            sq = lsh.hash_bag(jnp.asarray(wq), cw)
+            d = np.asarray(lsh.sketch_distances(sq, jnp.asarray(sketches_db)))
+            pool = np.argsort(d, kind="stable")[:pool_cap]
+            scores = [
+                lsh.descriptor_rerank_score(np.asarray(wq), db_words[j])
+                for j in pool
+            ]
+            hits += int(pool[int(np.argmin(scores))] == i)
+        assert hits / len(real_crop_words) >= 0.9, hits / len(real_crop_words)

@@ -566,3 +566,25 @@ class TestRealImageFrontend:
         a = {tuple(w) for w in fr.descriptors}
         b = {tuple(w) for w in dr.descriptors}
         assert a == b
+
+
+@pytest.mark.slow
+class TestMergeScenarioSeeds:
+    """The bench loop-closure merge scenario must not hinge on one seed
+    (round-3 verdict: 'the merge metric is tuned to pass').  Run the exact
+    driver-visible scenario (bench._bench_sfm_merge) at three rendered
+    scenes; every one must produce >= 2 reconstructions mid-run and merge
+    them by the end."""
+
+    @pytest.mark.parametrize("seed", [5, 11, 17])
+    def test_merge_across_seeds(self, seed):
+        import os
+        import sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        import bench
+
+        merged, views = bench._bench_sfm_merge(n_seg=5, seed=seed)
+        assert merged, (seed, views)
