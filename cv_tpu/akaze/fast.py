@@ -458,8 +458,10 @@ def padded_plane_stack(planes):
     b = planes[0].ldet.shape[0]
     n_evo = len(planes)
     h, w = planes[0].lt.shape[-2], planes[0].lt.shape[-1]
-    hp = max(128, h)
-    wp = max(128, w)
+    # Round up to 128 multiples: the tile-quadrant select kernel
+    # (pallas_mldb.select_samples_tiles) indexes (128, 128) blocks.
+    hp = -(-max(128, h) // 128) * 128
+    wp = -(-max(128, w) // 128) * 128
     # One fused concatenate of zero-padded per-evolution stacks.  (A chain of
     # ``stack.at[:, e].set(...)`` writes copied the full 890 MB buffer once
     # per evolution — measured ~20 ms at B=8; this form writes it once.)

@@ -125,5 +125,48 @@ def main():
     print(f"gather8:   {ms:7.2f} ms  equal={bool(jnp.array_equal(ref, out))}")
 
 
+def main2():
+    """gather8 without the transpose: emit (K, 16, C, 8, P) as gathered."""
+    print(f"backend: {jax.default_backend()}")
+    rng = np.random.default_rng(0)
+    planes = jnp.asarray(rng.normal(size=(L, C, H, W)).astype(np.float32))
+    lvl = jnp.asarray(rng.integers(0, L, K, dtype=np.int32))
+    y0 = jnp.asarray(rng.integers(0, H - P, K, dtype=np.int32))
+    x0 = jnp.asarray(rng.integers(0, W - P, K, dtype=np.int32))
+
+    @jax.jit
+    def gather8_raw(planes, lvl, y0, x0):
+        rows = jnp.arange(P // 8, dtype=jnp.int32) * 8
+        l_b = jnp.repeat(lvl, P // 8)
+        y_b = (y0[:, None] + rows[None, :]).reshape(-1)
+        x_b = jnp.repeat(x0, P // 8)
+        starts = jnp.stack([l_b, jnp.zeros_like(l_b), y_b, x_b], axis=1)
+        out = jax.lax.gather(
+            planes,
+            starts,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3),
+                collapsed_slice_dims=(0,),
+                start_index_map=(0, 1, 2, 3),
+            ),
+            slice_sizes=(1, C, 8, P),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (K * 16, C, 8, P)
+        return out.reshape(K, P // 8, C, 8, P)
+
+    ms, raw = timeit(gather8_raw, planes, lvl, y0, x0)
+    print(f"gather8_raw: {ms:7.2f} ms  ({raw.nbytes/1e6:.0f} MB out)")
+    # Verify values against the plain cut for a few keypoints.
+    pn = np.asarray(planes)
+    rawn = np.asarray(raw[:4])
+    l0, yy, xx = np.asarray(lvl[:4]), np.asarray(y0[:4]), np.asarray(x0[:4])
+    ok = True
+    for kk in range(4):
+        want = pn[l0[kk], :, yy[kk]:yy[kk]+P, xx[kk]:xx[kk]+P]
+        got = rawn[kk].transpose(1, 0, 2, 3).reshape(C, P, P)
+        ok &= np.array_equal(want, got)
+    print("values ok:", ok)
+
+
 if __name__ == "__main__":
-    main()
+    main2() if "raw" in sys.argv else main()
