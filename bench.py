@@ -58,7 +58,10 @@ BASELINE_FPS = 1000.0
 # flagship metric plus whatever extras landed.  A stall in any late phase
 # can no longer zero the round.
 T0 = time.time()
-BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "300"))
+# 540 s: the driver's outer timeout completed a ~500 s round-2 run and
+# killed a much longer round-3 one; with per-phase checkpoint lines a kill
+# mid-extras still records everything that landed.
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
 
 
 def _remaining_s():
@@ -99,8 +102,7 @@ def main():
     n_matches = np.asarray(n_matches)
     golden_ok = counts[0] == 399 and counts[1] == 343 and n_matches[0] == 11
 
-    best_fps = 0.0
-    for _ in range(3):
+    def burst():
         t0 = time.time()
         for _ in range(TIMED_ITERS):
             out = extract_and_match(batch)
@@ -109,8 +111,15 @@ def main():
         # iteration would add a full tunnel round trip (~28 ms, see
         # tunnel_rtt_ms) per batch and measure the relay, not the chip.
         np.asarray(out[0])
-        dt = (time.time() - t0) / TIMED_ITERS
-        best_fps = max(best_fps, BATCH / dt)
+        return BATCH / ((time.time() - t0) / TIMED_ITERS)
+
+    # The axon tunnel intermittently stalls device->host fetches for
+    # minutes at a time (observed 105 s for an 8-element fetch).  Every
+    # fetch before the flagship line is stall exposure, so the line is
+    # printed after exactly ONE timed burst (two fetches total since
+    # warmup); extra bursts only sharpen the number afterwards if the
+    # wall-clock budget allows.
+    best_fps = burst()
 
     value = best_fps if golden_ok else 0.0
     result = {
@@ -126,9 +135,15 @@ def main():
     # longer cost the round its number.
     print(json.dumps(result), flush=True)
 
+
     # Extra phases, most important first, each gated on the remaining
     # wall-clock budget (estimates are warm-cache measurements; a cold
     # compile overshoots its phase but the gate still bounds the total).
+    # The cumulative result line re-prints after every phase: if the
+    # driver's outer timeout kills the process mid-extras, the last line
+    # on stdout is still a complete record of everything that landed
+    # (round-3 post-mortem: the driver parses the stdout tail even on
+    # rc=124).
     skipped = []
     phase_s = {"extract_match": round(time.time() - T0, 1)}
 
@@ -145,6 +160,14 @@ def main():
         finally:
             phase_s[name] = round(time.time() - t, 1)
 
+    def checkpoint():
+        out = dict(result)
+        if skipped:
+            out["skipped_phases"] = skipped
+        out["phase_s"] = phase_s
+        out["bench_wall_s"] = round(time.time() - T0, 1)
+        print(json.dumps(out), flush=True)
+
     # Median host<->device round trip (trivial jit + 1 fetch).
     # Latency-bound metrics below (pose_pipeline_ms, SfM fps) include one
     # or more of these per step: on this axon tunnel the RTT is ~25-30 ms,
@@ -152,15 +175,18 @@ def main():
     # subtract it.
     rtt = phase("tunnel_rtt", 3, _bench_tunnel_rtt)
     result["tunnel_rtt_ms"] = round(rtt, 2) if rtt is not None else None
+    checkpoint()
 
     sfm = phase("sfm_end_to_end", 150, _bench_sfm_end_to_end)
     result["sfm_end_to_end_fps"] = round(sfm[0], 2) if sfm else None
     result["sfm_views"] = sfm[1] if sfm else None
     result["sfm_landmarks"] = sfm[2] if sfm else None
+    checkpoint()
 
     pp = phase("pose_pipeline", 30, _bench_pose_pipeline)
     result["pose_pipeline_ms"] = round(pp[0], 2) if pp else None
     result["pose_pipeline_inliers"] = pp[1] if pp else None
+    checkpoint()
 
     # Loop-closure merge scenario: two disjoint trajectory segments form
     # separate reconstructions; a mid-trajectory revisit must retrieve
@@ -170,18 +196,23 @@ def main():
     mg = phase("sfm_merge", 90, _bench_sfm_merge)
     result["sfm_merge_ok"] = mg[0] if mg else None
     result["sfm_merge_views"] = mg[1] if mg else None
+    checkpoint()
 
     rs = phase("ransac", 20, _bench_ransac)
     result["ransac_pose_fits_per_sec"] = round(rs, 1) if rs is not None else None
 
     ba = phase("graph_ba", 15, _bench_graph_ba)
     result["ba_iters_per_sec"] = round(ba, 1) if ba is not None else None
+    checkpoint()
 
-    if skipped:
-        result["skipped_phases"] = skipped
-    result["phase_s"] = phase_s
-    result["bench_wall_s"] = round(time.time() - T0, 1)
-    print(json.dumps(result), flush=True)
+    # Sharpen the flagship number last: extra timed bursts only after every
+    # secondary metric has had its chance to land.
+    for i in range(2):
+        fps = phase(f"extra_burst{i}", 30, burst)
+        if fps is not None and golden_ok and fps > result["value"]:
+            result["value"] = round(fps, 2)
+            result["vs_baseline"] = round(fps / BASELINE_FPS, 4)
+    checkpoint()
 
 
 def _bench_tunnel_rtt():

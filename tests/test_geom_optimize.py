@@ -251,3 +251,70 @@ class TestOptimizers:
         )
         assert bool(jnp.all(jnp.isfinite(o1.rotation)))
         assert bool(jnp.all(jnp.isfinite(o2.rotation)))
+
+
+class TestLevenbergMarquardt:
+    """cv::optimize::lm facade parity (cv/src/lib.rs:124-129): general
+    nonlinear least squares with autodiff or supplied Jacobians."""
+
+    def test_exponential_fit(self):
+        t = jnp.linspace(0.0, 2.0, 32)
+        y = 1.7 * jnp.exp(-0.9 * t)
+
+        def resid(p):
+            return p[0] * jnp.exp(p[1] * t) - y
+
+        out = opt.levenberg_marquardt(resid, jnp.asarray([1.0, 0.0]))
+        np.testing.assert_allclose(
+            np.asarray(out.x), [1.7, -0.9], atol=1e-5
+        )
+        assert bool(out.converged)
+        assert float(out.cost) < 1e-10
+
+    def test_rosenbrock_valley(self):
+        def resid(p):
+            return jnp.stack([10.0 * (p[1] - p[0] ** 2), 1.0 - p[0]])
+
+        out = opt.levenberg_marquardt(
+            resid, jnp.asarray([-1.2, 1.0]), max_iterations=200
+        )
+        np.testing.assert_allclose(np.asarray(out.x), [1.0, 1.0], atol=1e-5)
+
+    def test_supplied_jacobian_matches_autodiff(self):
+        t = jnp.linspace(0.0, 1.0, 16)
+        y = 0.5 * t + 2.0
+
+        def resid(p):
+            return p[0] * t + p[1] - y
+
+        def jac(p):
+            return jnp.stack([t, jnp.ones_like(t)], axis=-1)
+
+        a = opt.levenberg_marquardt(resid, jnp.zeros(2))
+        b = opt.levenberg_marquardt(resid, jnp.zeros(2), jacobian=jac)
+        np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a.x), [0.5, 2.0], atol=1e-5)
+
+    def test_vmap_and_jit_batched_problems(self):
+        t = jnp.linspace(0.0, 1.0, 24)
+        slopes = jnp.asarray([0.3, -1.1, 2.2, 0.0])
+
+        def solve_one(slope):
+            def resid(p):
+                return p[0] * t + p[1] - (slope * t + 0.25)
+
+            return opt.levenberg_marquardt(resid, jnp.zeros(2)).x
+
+        xs = jax.jit(jax.vmap(solve_one))(slopes)
+        np.testing.assert_allclose(np.asarray(xs[:, 0]), np.asarray(slopes), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(xs[:, 1]), 0.25, atol=1e-5)
+
+    def test_max_iterations_bounds_work(self):
+        def resid(p):
+            return jnp.stack([10.0 * (p[1] - p[0] ** 2), 1.0 - p[0]])
+
+        out = opt.levenberg_marquardt(
+            resid, jnp.asarray([-1.2, 1.0]), max_iterations=3
+        )
+        assert int(out.iterations) <= 3
+        assert not bool(out.converged)
