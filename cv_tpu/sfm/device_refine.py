@@ -100,7 +100,8 @@ def register_refine(
     obs_trans,   # (M, O, 3)
     obs_bear,    # (M, O, 3)
     obs_mask,    # (M, O)
-    init_active,  # (M,) the consensus-inlier active set, already capped
+    inlier_mask,  # (NB,) consensus inliers over the compacted point_ok subset
+    ok_positions,  # (M,) row i's index into the compacted subset (cumsum-1)
     max_sine,
     max_cos,
     filter_iterations: int,
@@ -110,7 +111,14 @@ def register_refine(
 ):
     """Run the filter cascade; returns
     ``(rotation, translation, final_consistent (M,), counts
-    (filter_iterations,), final_count, final_robust)``.
+    (filter_iterations,), final_count, final_robust, c0)``.
+
+    The consensus inlier mask arrives in the compacted row space the
+    consensus program scored (only robust-point rows are fed to it);
+    ``ok_positions`` scatters it back to full match rows on device, so the
+    whole consensus -> refine chain needs no host round trip in between.
+    ``c0`` is the initial capped active-set size (the reference's
+    ``matches_3d`` length after the inlier cut, lib.rs:1625-1641).
 
     ``counts[i]`` is the active-match count after filter iteration ``i`` —
     the host checks the reference's early-outs (lib.rs:1686-1704) against
@@ -118,6 +126,9 @@ def register_refine(
     is observationally identical.
     """
     pose0 = Isometry3(rotation=rot0, translation=t0)
+    inlier_full = point_ok & inlier_mask[ok_positions]
+    init_active = inlier_full & (jnp.cumsum(inlier_full) <= cap)
+    c0 = jnp.sum(init_active, dtype=jnp.int32)
     m = bearings.shape[0]
     n_others = jnp.sum(obs_mask, axis=1)
     all_bear = jnp.concatenate([obs_bear, bearings[:, None, :]], axis=1)
@@ -161,4 +172,5 @@ def register_refine(
         counts,
         final_count,
         final_robust,
+        c0,
     )

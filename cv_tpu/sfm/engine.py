@@ -1222,16 +1222,39 @@ class VSlam:
             log.info("register: only %d robust landmarks", len(matches_3d))
             return None
 
+        if use_batch:
+            # Dispatch consensus WITHOUT fetching and chain the whole filter
+            # cascade (optimize -> re-filter, x iterations) behind it as
+            # fused device programs (lib.rs:1619-1779): one fetch at the end
+            # instead of one per stage; the consensus early-out is replayed
+            # from the fetched inlier count.
+            n = len(matches_3d)
+            nb = _bucket(n)
+            bear = np.zeros((nb, 3))
+            wp = np.zeros((nb, 4))
+            for i, (b, p) in enumerate(matches_3d):
+                bear[i] = b
+                wp[i] = p
+            model, mask_dev, count_dev = self.single_view_consensus.model_inliers(
+                self._next_key(),
+                self.pose_estimator,
+                (jnp.asarray(bear), jnp.asarray(wp)),
+                n_valid=jnp.int32(n),
+            )
+            return self._register_refine_device(
+                reconstruction_key,
+                new_frame,
+                matches,
+                pts,
+                ok,
+                mask_dev,
+                (model.rotation, model.translation),
+                count_dev,
+            )
+
         pose, inlier_mask = self._single_view_consensus(matches_3d)
         if pose is None:
             return None
-        if use_batch:
-            # Whole filter cascade (optimize -> re-filter, x iterations) as
-            # ONE fused device program (lib.rs:1686-1779); ~12 device round
-            # trips become one dispatch + one fetch.
-            return self._register_refine_device(
-                reconstruction_key, new_frame, matches, pts, ok, inlier_mask, pose
-            )
         matches_3d = [m for m, keep in zip(matches_3d, inlier_mask) if keep][
             : s.single_view_optimization_num_matches
         ]
@@ -1308,13 +1331,23 @@ class VSlam:
         return pose, final_matches
 
     def _register_refine_device(
-        self, reconstruction_key, new_frame, matches, pts, ok, inlier_mask, pose0
+        self,
+        reconstruction_key,
+        new_frame,
+        matches,
+        pts,
+        ok,
+        inlier_mask_dev,
+        pose0_dev,
+        count_dev,
     ):
         """Finish ``register_frame_subset`` via the fused device cascade
         (:func:`cv_tpu.sfm.device_refine.register_refine`).  Inputs are the
         batched robust points (``pts``/``ok`` over ``matches``) and the
-        consensus result; the reference's early-outs (lib.rs:1686-1704) are
-        replayed on host from the returned per-iteration counts."""
+        consensus result STILL ON DEVICE (mask/pose/count device arrays from
+        ``model_inliers`` — never fetched); the reference's early-outs
+        (lib.rs:1619-1704: no consensus model, too few inliers mid-loop) are
+        replayed on host from the single fetch at the end."""
         s = self.settings
         rec = self.data.reconstructions[reconstruction_key]
         m = len(matches)
@@ -1337,17 +1370,15 @@ class VSlam:
         point_ok[:m] = ok
         match_valid = np.zeros(mb, bool)
         match_valid[:m] = True
-        # Consensus inliers (aligned with the robust-point subset order),
-        # capped in match order like the reference's initial matches_3d.
-        inlier_full = np.zeros(mb, bool)
-        inlier_full[np.nonzero(ok)[0]] = np.asarray(inlier_mask, bool)
+        # Row i of the consensus problem is the i-th ok row of ``matches``;
+        # cumsum-1 maps each full row back to its compacted index (rows with
+        # point_ok False read garbage and are masked out on device).
+        positions = np.zeros(mb, np.int32)
+        positions[:m] = np.maximum(np.cumsum(ok) - 1, 0)
         cap = s.single_view_optimization_num_matches
-        init_active = inlier_full & (np.cumsum(inlier_full) <= cap)
-        c0 = int(init_active.sum())
-        robust_minimum_matches = c0 // 2
         out = device_refine.register_refine(
-            jnp.asarray(pose0[0]),
-            jnp.asarray(pose0[1]),
+            pose0_dev[0],
+            pose0_dev[1],
             jnp.asarray(bearings),
             jnp.asarray(points),
             jnp.asarray(point_ok),
@@ -1356,7 +1387,8 @@ class VSlam:
             jnp.asarray(trans_o),
             jnp.asarray(bear_o),
             jnp.asarray(mask_o),
-            jnp.asarray(init_active),
+            inlier_mask_dev,
+            jnp.asarray(positions),
             s.maximum_sine_distance,
             s.maximum_cosine_distance,
             filter_iterations=s.single_view_filter_loop_iterations,
@@ -1364,7 +1396,15 @@ class VSlam:
             rate=s.single_view_optimization_rate,
             patience=s.single_view_patience,
         )
-        rot, t, fmask, counts, final_count, final_robust = jax.device_get(out)
+        (
+            consensus_count,
+            (rot, t, fmask, counts, final_count, final_robust, c0),
+        ) = jax.device_get((count_dev, out))
+        if int(consensus_count) == 0:
+            log.info("single-view consensus found no model")
+            return None
+        c0 = int(c0)
+        robust_minimum_matches = c0 // 2
         c_prev = c0
         for i in range(s.single_view_filter_loop_iterations):
             if c_prev <= robust_minimum_matches:

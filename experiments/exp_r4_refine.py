@@ -68,8 +68,8 @@ def problem(m=512, o=16, seed=0):
         obs_trans[:, j] = t_j
         obs_bear[:, j] = cam_j / np.linalg.norm(cam_j, axis=1, keepdims=True)
         obs_mask[:, j] = True
-    init_active = np.zeros(m, bool)
-    init_active[:256] = True
+    inlier_mask = np.zeros(m, bool)
+    inlier_mask[:256] = True
     rot_p = np.asarray(lie.so3_exp(jnp.asarray([0.06, -0.09, 0.05])))
     return dict(
         rot0=jnp.asarray(rot_p),
@@ -82,7 +82,8 @@ def problem(m=512, o=16, seed=0):
         obs_trans=jnp.asarray(obs_trans),
         obs_bear=jnp.asarray(obs_bear),
         obs_mask=jnp.asarray(obs_mask),
-        init_active=jnp.asarray(init_active),
+        inlier_mask=jnp.asarray(inlier_mask),
+        ok_positions=jnp.arange(m, dtype=jnp.int32),
     )
 
 
@@ -93,7 +94,7 @@ def main():
         device_refine.register_refine,
         p["rot0"], p["t0"], p["bearings"], p["points"], p["point_ok"],
         p["match_valid"], p["obs_rot"], p["obs_trans"], p["obs_bear"],
-        p["obs_mask"], p["init_active"],
+        p["obs_mask"], p["inlier_mask"], p["ok_positions"],
         1e-4, 1e-5,
         filter_iterations=5, cap=256, rate=1e-3, patience=4000,
     )
