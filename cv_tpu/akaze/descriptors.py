@@ -570,7 +570,9 @@ def _orient_mldb_ptiles(
 
 
 def orient_mldb_onehot(
-    planes: jnp.ndarray,  # (L, 3, Hmax, Wmax) channel-major padded stack
+    planes: jnp.ndarray,  # (L, 3, Hmax, Wmax) channel-major padded stack,
+    #                       or (L, Hmax, 3*Wmax) pixel-interleaved when
+    #                       ``interleaved`` (lane = 3*x + ch)
     lvl: jnp.ndarray,  # (K,) i32 plane index per keypoint
     width: jnp.ndarray,  # (K,) true plane width (for the OOB mask)
     height: jnp.ndarray,  # (K,)
@@ -580,6 +582,7 @@ def orient_mldb_onehot(
     pattern_size: int = 10,
     chunk: int = 128,
     mode: str = "highest",
+    interleaved: bool = False,
 ):
     """Fused orientation + M-LDB via ONE patch extraction per keypoint.
 
@@ -589,10 +592,16 @@ def orient_mldb_onehot(
     the gather-based orientation (109 samples x 2 planes x 18ns/index) and
     halves the patch traffic versus running the two kernels separately.
     Returns ``(words (K, 16) uint32, ok (K,), angle (K,))``.
+
+    ``interleaved`` cuts each patch as ONE (128, 384) row-contiguous slice
+    from the pixel-interleaved stack and de-interleaves in-registers: the
+    cut is gather-row-latency bound, so 128 rows instead of 384 per
+    keypoint (bit-exact; the de-interleave is a pure relayout).
     """
     if mode == "ptiles":
         # Fully-fused path: no patch buffer, no chunking (see
         # _orient_mldb_ptiles).
+        assert not interleaved, "'ptiles' reads the channel-major stack"
         return _orient_mldb_ptiles(
             planes, lvl, width, height, xf, yf, scale, pattern_size
         )
@@ -606,7 +615,8 @@ def orient_mldb_onehot(
         yf = jnp.pad(yf, (0, pad), constant_values=64.0)
         scale = jnp.pad(scale, (0, pad), constant_values=1.0)
         words, ok, angle = orient_mldb_onehot(
-            planes, lvl, width, height, xf, yf, scale, pattern_size, chunk, mode
+            planes, lvl, width, height, xf, yf, scale, pattern_size, chunk,
+            mode, interleaved,
         )
         return words[:k_total], ok[:k_total], angle[:k_total]
 
@@ -638,7 +648,10 @@ def orient_mldb_onehot(
             return vals[:, :, :ns_in]
 
     p = 128
-    hmax, wmax = planes.shape[2], planes.shape[3]
+    if interleaved:
+        hmax, wmax = planes.shape[1], planes.shape[2] // 3
+    else:
+        hmax, wmax = planes.shape[2], planes.shape[3]
     y0 = jnp.clip(yf.astype(jnp.int32) - p // 2, 0, hmax - p)
     x0 = jnp.clip(xf.astype(jnp.int32) - p // 2, 0, wmax - p)
 
@@ -660,11 +673,27 @@ def orient_mldb_onehot(
     def do_chunk(args):
         lvl_c, y0_c, x0_c, orx, ory, xf_c, yf_c, sc_c, w_c, h_c = args
 
-        def slice_one(l, y, x):
-            zero = jnp.zeros((), l.dtype)  # keep index dtypes uniform under x64
-            return jax.lax.dynamic_slice(planes, (l, zero, y, x), (1, 3, p, p))[0]
+        if interleaved:
 
-        patch = jax.vmap(slice_one)(lvl_c, y0_c, x0_c)  # (chunk, 3, p, p)
+            def slice_one(l, y, x):
+                return jax.lax.dynamic_slice(
+                    planes, (l, y, 3 * x), (1, p, 3 * p)
+                )[0]
+
+            raw = jax.vmap(slice_one)(lvl_c, y0_c, x0_c)  # (chunk, p, 3p)
+            # lane = 3*dx + ch -> (chunk, 3, p, p); bit-exact relayout.
+            patch = jnp.swapaxes(raw.reshape(chunk, p, p, 3), 1, 3).swapaxes(
+                2, 3
+            )
+        else:
+
+            def slice_one(l, y, x):
+                zero = jnp.zeros((), l.dtype)  # keep index dtypes uniform under x64
+                return jax.lax.dynamic_slice(
+                    planes, (l, zero, y, x), (1, 3, p, p)
+                )[0]
+
+            patch = jax.vmap(slice_one)(lvl_c, y0_c, x0_c)  # (chunk, 3, p, p)
 
         # --- orientation from the same patch ---
         if use_k:

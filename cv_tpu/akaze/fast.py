@@ -473,6 +473,42 @@ def padded_plane_stack(planes):
     return jnp.concatenate(padded, axis=1).reshape(b * n_evo, 3, hp, wp)
 
 
+def padded_plane_stack_interleaved(planes):
+    """(B*n_evo, Hp, 3*Wp) pixel-interleaved (Lt, Lx, Ly) stack: lane index
+    ``3*x + ch``.
+
+    The describe stage's patch cut is gather-ROW-latency bound (~12-18 ns
+    per row regardless of slice width — docs/perf-notes.md round 4), so a
+    channel-major (1, 3, 128, 128) patch slice costs 384 row fetches.  With
+    channels interleaved on the lane axis the same patch is ONE
+    (1, 128, 384) slice = 128 rows.  A trailing channel dim of 3 would be
+    lane-padded 3 -> 128 (42x blowup, see :func:`padded_plane_stack`);
+    interleaving keeps the lane dim at full image width.  Built with
+    interior-padded adds — never materializing a (..., W, 3) intermediate.
+    """
+    b = planes[0].ldet.shape[0]
+    n_evo = len(planes)
+    h, w = planes[0].lt.shape[-2], planes[0].lt.shape[-1]
+    hp = -(-max(128, h) // 128) * 128
+    wp = -(-max(128, w) // 128) * 128
+    out = []
+    for p in planes:
+        ho, wo = p.lt.shape[-2], p.lt.shape[-1]
+        chans = []
+        for ch, arr in enumerate((p.lt, p.lx, p.ly)):
+            # interior=2 spreads x to lane 3*x; low=ch shifts channel ch into
+            # place; high pads to the 3*wp tile width in the same op.
+            chans.append(
+                jax.lax.pad(
+                    arr,
+                    jnp.zeros((), arr.dtype),
+                    [(0, 0, 0), (0, hp - ho, 0), (ch, (2 - ch) + 3 * (wp - wo), 2)],
+                )
+            )
+        out.append((chans[0] + chans[1] + chans[2])[:, None])
+    return jnp.concatenate(out, axis=1).reshape(b * n_evo, hp, 3 * wp)
+
+
 def slot_tables(cfg, specs, k):
     """Static per-slot numpy tables over the concatenated candidate axis."""
     n_evo = len(specs)
@@ -649,10 +685,18 @@ def stage_describe(cfg, planes, sel, sampler: str, onehot_mode: str = "highest")
 
     if sampler == "onehot":
         # Fused orientation + M-LDB: one 128x128x3 patch extraction per
-        # keypoint from the shared channel-major padded stack, all samples
-        # resolved by factorized one-hot MXU selection (bitwise-equal to the
-        # gather path; see descriptors.orient_mldb_onehot).
-        planes_padded = padded_plane_stack(planes)
+        # keypoint from the shared padded stack, all samples resolved by
+        # factorized one-hot MXU selection (bitwise-equal to the gather
+        # path; see descriptors.orient_mldb_onehot).  The '+inter' mode
+        # suffix swaps the stack for the pixel-interleaved layout whose
+        # patch cut is one (128, 384) slice per keypoint (3x fewer gather
+        # rows; see padded_plane_stack_interleaved).
+        interleaved = onehot_mode.endswith("+inter")
+        if interleaved:
+            onehot_mode = onehot_mode[: -len("+inter")]
+            planes_padded = padded_plane_stack_interleaved(planes)
+        else:
+            planes_padded = padded_plane_stack(planes)
         lvl = (jnp.arange(b, dtype=jnp.int32)[:, None] * n_evo + sel["cls"]).reshape(-1)
         words, w_ok, angle = desc.orient_mldb_onehot(
             planes_padded,
@@ -668,6 +712,7 @@ def stage_describe(cfg, planes, sel, sampler: str, onehot_mode: str = "highest")
             # one-hot path keeps 128 to bound its HBM intermediates.
             chunk=512 if onehot_mode == "pgather" else 128,
             mode=onehot_mode,
+            interleaved=interleaved,
         )
         words = words.reshape(b, m, -1)
         w_ok = w_ok.reshape(b, m)

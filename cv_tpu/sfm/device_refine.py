@@ -34,6 +34,143 @@ from ..optimize import single_view_simple_optimize_l2
 from ..triangulate import linear_eigen
 
 
+def graph_ba_core(
+    rot, trans, edge_to, edge_from, edge_rot, edge_t, edge_valid, iterations, rate
+):
+    """Graph bundle adjustment loop (lib.rs:1892-1936, 2382-2414, 2543-2567).
+
+    ``rot``/``trans``: (V, 3, 3)/(V, 3) world-to-view poses; ``edge_*``:
+    (E,) directed constraints with the expected other->view isometries.
+    Runs ``iterations`` rounds: per view, sum the se(3) logs of
+    ``expected_other_to_view . world_to_other . view_to_world^-1`` over its
+    incident edges, scale by ``rate``, and left-apply.  Views whose delta
+    goes non-finite are removed (sticky mask) along with their edges.
+
+    Pure function meant to be called inside a jit (see
+    ``engine.graph_ba_device`` and :func:`ba_filter`).
+    """
+    from ..core.lie import so3_exp, so3_log
+
+    v_count = rot.shape[0]
+    has_edge = jnp.zeros((v_count,), bool).at[edge_to].max(edge_valid)
+
+    def body(_, state):
+        rot, trans, removed = state
+        r_from = rot[edge_from]
+        t_from = trans[edge_from]
+        r_to = rot[edge_to]
+        t_to = trans[edge_to]
+        # world_to_other . view_to_world: R = Rf Rt^T, t = tf - Rf Rt^T tt
+        r_rel = smallmat.matmul(r_from, jnp.swapaxes(r_to, -1, -2))
+        t_rel = t_from - smallmat.matvec(r_rel, t_to)
+        r_d = smallmat.matmul(edge_rot, r_rel)
+        t_d = smallmat.matvec(edge_rot, t_rel) + edge_t
+        se3_log = jnp.concatenate([t_d, so3_log(r_d)], axis=-1)  # (E, 6)
+        ok_edge = edge_valid & ~removed[edge_from] & ~removed[edge_to]
+        se3_log = jnp.where(ok_edge[:, None], se3_log, 0.0)
+        net = jnp.zeros((v_count, 6), rot.dtype).at[edge_to].add(se3_log) * rate
+        finite = jnp.all(jnp.isfinite(net), axis=-1) & has_edge & ~removed
+        dr = so3_exp(net[:, 3:6])
+        dt = net[:, 0:3]
+        new_rot = smallmat.matmul(dr, rot)
+        new_trans = smallmat.matvec(dr, trans) + dt
+        rot = jnp.where(finite[:, None, None], new_rot, rot)
+        trans = jnp.where(finite[:, None], new_trans, trans)
+        removed = removed | (~finite)
+        return rot, trans, removed
+
+    removed0 = ~has_edge
+    return jax.lax.fori_loop(0, iterations, body, (rot, trans, removed0))
+
+
+@partial(jax.jit, static_argnames=("iterations", "rate"))
+def ba_filter(
+    rot,          # (V, 3, 3) world-to-view poses
+    trans,        # (V, 3)
+    edge_to,      # (E,) int32
+    edge_from,    # (E,) int32
+    edge_rot,     # (E, 3, 3) expected other->view isometries
+    edge_t,       # (E, 3)
+    edge_valid,   # (E,)
+    lm_view,      # (L, O) int32 indices into the view arrays
+    lm_bear,      # (L, O, 3) observation bearings
+    lm_mask,      # (L, O) real observations (front-packed per row)
+    lm_valid,     # (L,) real landmark rows
+    max_sine,
+    max_cos,
+    incidence_thresh,
+    needed_obs,   # scalar int: min(robust_minimum_observations, n_views)
+    iterations: int,
+    rate: float,
+):
+    """Graph BA chained with the observation filter — ONE device program.
+
+    The reference runs ``apply_constraints`` then
+    ``filter_non_robust_observations`` as separate host passes over the
+    updated poses (lib.rs:2343-2355, 2657-2757).  Every landmark's filter
+    verdict depends only on the post-BA poses and its own observations, so
+    the whole pass fuses behind the BA loop: gather each observation's
+    post-BA pose, run the 2-observation epipolar gate or the >=3 LinearEigen
+    triangulation + cosine kicks, and count the robust landmarks the splits
+    would leave — one fetch instead of one per stage.
+
+    Returns ``(rot (V,3,3), trans (V,3), removed (V,), kill (L,),
+    bad_obs (L,O), robust_count)``:
+
+    - ``kill[l]``: split the whole landmark (2-obs epipolar failure or
+      untriangulatable, lib.rs:2680-2695, 2720-2730);
+    - ``bad_obs[l, o]``: kick this observation (cosine gate,
+      lib.rs:2700-2718);
+    - ``robust_count``: ``is_landmark_robust`` survivors AFTER the splits
+      (split rows contribute nothing; split-off observations become 1-obs
+      landmarks which are never robust), matching the host recount
+      (lib.rs:2747-2753).
+
+    The host applies the splits and replays the robust-floor early-out; if
+    BA removed any view it falls back to the exact host filter instead (the
+    removal changes observation structure mid-pass — rare).
+    """
+    rot, trans, removed = graph_ba_core(
+        rot, trans, edge_to, edge_from, edge_rot, edge_t, edge_valid,
+        iterations, rate,
+    )
+    ro = rot[lm_view]      # (L, O, 3, 3)
+    to = trans[lm_view]    # (L, O, 3)
+    m = lm_mask & lm_valid[:, None]
+    n_obs = jnp.sum(m, axis=1)
+    # 2-observation rows: bi-landmark epipolar gate on the (front-packed)
+    # first two slots under pose1 . inverse(pose0) (lib.rs:2680-2695).
+    r_rel = smallmat.matmul(ro[:, 1], jnp.swapaxes(ro[:, 0], -1, -2))
+    t_rel = to[:, 1] - smallmat.matvec(r_rel, to[:, 0])
+    a_in_b = smallmat.matvec(r_rel, lm_bear[:, 0])
+    two_ok = epipolar.loss(t_rel, a_in_b, lm_bear[:, 1]) < max_sine
+    # >=3-observation rows: triangulate and kick cosine outliers.
+    poses = Isometry3(rotation=ro, translation=to)
+    point, tri_ok = linear_eigen.triangulate_observations(poses, lm_bear, valid=m)
+    cam = poses.transform(point[:, None, :])  # (L, O, 4)
+    cosd = 1.0 - jnp.sum(projective.bearing(cam) * lm_bear, axis=-1)
+    bad = (cosd > max_cos) & m
+    two = n_obs == 2
+    many = n_obs >= 3
+    kill = lm_valid & ((two & ~two_ok) | (many & ~tri_ok))
+    bad_obs = jnp.where((many & tri_ok)[:, None], bad, False)
+    # Post-split robust recount (lib.rs:2907-2934 over the survivors).
+    remaining = m & ~bad_obs & ~kill[:, None]
+    # Elementwise world-bearing dots, NOT dot_general: f32 matmuls round to
+    # bf16 on the MXU and 1-dot near zero needs full f32.
+    wb = smallmat.matvec_t(ro, lm_bear)  # R^T b
+    dots = 1.0 - jnp.sum(wb[:, :, None, :] * wb[:, None, :, :], axis=-1)
+    pair = remaining[:, :, None] & remaining[:, None, :]
+    o = lm_mask.shape[1]
+    iu = jnp.triu(jnp.ones((o, o), bool), 1)
+    any_pair = jnp.any((dots > incidence_thresh) & pair & iu, axis=(1, 2))
+    robust = (
+        (jnp.sum(remaining, axis=1) >= needed_obs) & any_pair & lm_valid & ~kill
+    )
+    robust_count = jnp.sum(robust, dtype=jnp.int32)
+    return rot, trans, removed, kill, bad_obs, robust_count
+
+
 def _optimize_l2(pose, bearings, points, active, rate, patience):
     """The cascade's inner optimizer: the Pallas resident patience loop on
     TPU (one kernel for the whole loop, ~8x the XLA while_loop whose ~50

@@ -176,46 +176,10 @@ def graph_ba_device(rot, trans, edge_to, edge_from, edge_rot, edge_t, edge_valid
     incident edges, scale by ``rate``, and left-apply.  Views whose delta
     goes non-finite are removed (sticky mask) along with their edges.
     """
-    v_count = rot.shape[0]
-    has_edge = (
-        jnp.zeros((v_count,), bool).at[edge_to].max(edge_valid)
+    return device_refine.graph_ba_core(
+        rot, trans, edge_to, edge_from, edge_rot, edge_t, edge_valid,
+        iterations, rate,
     )
-
-    from ..core.lie import so3_exp, so3_log
-
-    def body(_, state):
-        rot, trans, removed = state
-        # Edge deltas: expected (Re, te) . world_to_other . inverse(view)
-        r_from = rot[edge_from]
-        t_from = trans[edge_from]
-        r_to = rot[edge_to]
-        t_to = trans[edge_to]
-        # world_to_other . view_to_world: R = Rf Rt^T, t = tf - Rf Rt^T tt
-        r_rel = smallmat.matmul(r_from, jnp.swapaxes(r_to, -1, -2))
-        t_rel = t_from - smallmat.matvec(r_rel, t_to)
-        # expected . rel
-        r_d = smallmat.matmul(edge_rot, r_rel)
-        t_d = smallmat.matvec(edge_rot, t_rel) + edge_t
-        se3_log = jnp.concatenate([t_d, so3_log(r_d)], axis=-1)  # (E, 6)
-        ok_edge = edge_valid & ~removed[edge_from] & ~removed[edge_to]
-        se3_log = jnp.where(ok_edge[:, None], se3_log, 0.0)
-        net = jnp.zeros((v_count, 6), rot.dtype).at[edge_to].add(se3_log) * rate
-        finite = jnp.all(jnp.isfinite(net), axis=-1) & has_edge & ~removed
-        # Apply: new pose = from_se3(net) . pose
-        dr = so3_exp(net[:, 3:6])
-        dt = net[:, 0:3]
-        new_rot = smallmat.matmul(dr, rot)
-        new_trans = smallmat.matvec(dr, trans) + dt
-        rot = jnp.where(finite[:, None, None], new_rot, rot)
-        trans = jnp.where(finite[:, None], new_trans, trans)
-        removed = removed | (~finite)
-        return rot, trans, removed
-
-    removed0 = ~has_edge
-    rot, trans, removed = jax.lax.fori_loop(
-        0, iterations, body, (rot, trans, removed0)
-    )
-    return rot, trans, removed
 
 
 def _essential_estimate(s):
@@ -1705,30 +1669,37 @@ class VSlam:
 
     # -- bundle adjustment (lib.rs:2343-2435) ----------------------------------------
     def optimize_reconstruction(self, reconstruction):
+        use_batch = self.triangulator is host_geom.triangulate_observations
         for _ in range(self.settings.reconstruction_optimization_iterations):
-            if self.apply_constraints(reconstruction) is None:
+            if use_batch:
+                # BA + observation filter as ONE device chain (one fetch);
+                # falls back to the host filter only when BA removed a view.
+                r = self._apply_constraints_and_filter_device(reconstruction)
+                if r is None:
+                    return None
+                if r is True:
+                    continue
+                # r is False: BA was applied on host (views removed) — run
+                # the exact host filter below.
+            elif self.apply_constraints(reconstruction) is None:
                 log.info("failed to bundle adjust reconstruction")
                 return None
             if self.filter_non_robust_observations(reconstruction) is None:
                 return None
         return reconstruction
 
-    def apply_constraints(self, reconstruction):
-        rec = self.data.reconstructions[reconstruction]
-        view_keys = list(rec.views)
-        if not view_keys:
-            self.data.remove_reconstruction(reconstruction)
-            return None
+    def _build_ba_arrays(self, rec, view_keys):
+        """Bucket-padded pose + edge tensors for the BA programs.  Padded
+        views have no edges, so the device loop marks them removed and the
+        host write-back (which only iterates real ``view_keys``) never sees
+        them.  One compiled program per (view, edge) bucket pair instead of
+        one per frame."""
         index = {v: i for i, v in enumerate(view_keys)}
         edges = []
         for constraint in rec.constraints.values():
             for to_view, (from_view, pose) in constraint.edge_constraints():
                 if to_view in index and from_view in index:
                     edges.append((index[to_view], index[from_view], pose))
-        # Bucket-pad the view arrays too: padded views have no edges, so
-        # graph_ba_device marks them removed and the loops below (which
-        # only iterate real view_keys) never see them.  One compiled BA
-        # program per (view, edge) bucket pair instead of one per frame.
         nv = len(view_keys)
         vb = _bucket(nv, minimum=8)
         rot = np.tile(np.eye(3), (vb, 1, 1))
@@ -1748,18 +1719,11 @@ class VSlam:
             edge_rot[i] = pose[0]
             edge_t[i] = pose[1]
             edge_valid[i] = True
-        out_rot, out_trans, removed = graph_ba_device(
-            jnp.asarray(rot),
-            jnp.asarray(trans),
-            jnp.asarray(edge_to),
-            jnp.asarray(edge_from),
-            jnp.asarray(edge_rot),
-            jnp.asarray(edge_t),
-            jnp.asarray(edge_valid),
-            iterations=self.settings.optimization_iterations,
-            rate=self.settings.graph_optimization_rate,
-        )
-        removed, out_rot, out_trans = _fetch(removed, out_rot, out_trans)
+        return index, (rot, trans, edge_to, edge_from, edge_rot, edge_t, edge_valid)
+
+    def _apply_ba_result(self, reconstruction, rec, view_keys, removed, out_rot, out_trans):
+        """Write back BA poses and remove non-finite views
+        (lib.rs:2358-2375); returns None when the reconstruction dies."""
         out_rot = np.asarray(out_rot, np.float64)
         out_trans = np.asarray(out_trans, np.float64)
         updated = 0
@@ -1776,6 +1740,105 @@ class VSlam:
                 log.info("removing view from reconstruction")
                 self.data.remove_view(reconstruction, v)
         return reconstruction
+
+    def apply_constraints(self, reconstruction):
+        rec = self.data.reconstructions[reconstruction]
+        view_keys = list(rec.views)
+        if not view_keys:
+            self.data.remove_reconstruction(reconstruction)
+            return None
+        _, arrays = self._build_ba_arrays(rec, view_keys)
+        out_rot, out_trans, removed = graph_ba_device(
+            *(jnp.asarray(a) for a in arrays),
+            iterations=self.settings.optimization_iterations,
+            rate=self.settings.graph_optimization_rate,
+        )
+        removed, out_rot, out_trans = _fetch(removed, out_rot, out_trans)
+        return self._apply_ba_result(
+            reconstruction, rec, view_keys, removed, out_rot, out_trans
+        )
+
+    def _apply_constraints_and_filter_device(self, reconstruction):
+        """``apply_constraints`` + ``filter_non_robust_observations`` as one
+        fused device program (:func:`cv_tpu.sfm.device_refine.ba_filter`) —
+        one fetch per optimize pass instead of one per stage, and the
+        filter's triangulations run on device instead of host BLAS.
+
+        Returns ``None`` (reconstruction died), ``True`` (fused pass
+        complete), or ``False`` (BA removed views — poses were applied on
+        host; the caller must run the exact host filter, because view
+        removal changes the observation structure the filter verdicts were
+        computed against)."""
+        s = self.settings
+        data = self.data
+        rec = data.reconstructions[reconstruction]
+        view_keys = list(rec.views)
+        if not view_keys:
+            data.remove_reconstruction(reconstruction)
+            return None
+        index, arrays = self._build_ba_arrays(rec, view_keys)
+        landmarks = [
+            lm for lm in rec.landmarks if len(rec.landmarks[lm].observations) >= 2
+        ]
+        _, view_bearings = batch_geom.view_caches(data, reconstruction)
+        obs_lists = [
+            list(rec.landmarks[lm].observations.items()) for lm in landmarks
+        ]
+        n = len(landmarks)
+        lb = _bucket(max(n, 1))
+        o = max((len(x) for x in obs_lists), default=0)
+        ob = _bucket(max(o, 2), minimum=4)
+        lm_view = np.zeros((lb, ob), np.int32)
+        lm_bear = np.zeros((lb, ob, 3))
+        lm_bear[:, :, 2] = 1.0
+        lm_mask = np.zeros((lb, ob), bool)
+        lm_valid = np.zeros(lb, bool)
+        views_h = np.zeros((lb, ob), np.int64)
+        feats_h = np.zeros((lb, ob), np.int64)
+        for i, obs in enumerate(obs_lists):
+            lm_valid[i] = True
+            for j, (v, f) in enumerate(obs):
+                lm_view[i, j] = index[v]
+                lm_bear[i, j] = view_bearings[v][f]
+                lm_mask[i, j] = True
+                views_h[i, j] = v
+                feats_h[i, j] = f
+        needed = min(s.robust_minimum_observations, len(view_keys))
+        out = device_refine.ba_filter(
+            *(jnp.asarray(a) for a in arrays),
+            jnp.asarray(lm_view),
+            jnp.asarray(lm_bear),
+            jnp.asarray(lm_mask),
+            jnp.asarray(lm_valid),
+            s.maximum_sine_distance,
+            s.maximum_cosine_distance,
+            s.robust_observation_incidence_minimum_cosine_distance,
+            jnp.int32(needed),
+            iterations=s.optimization_iterations,
+            rate=s.graph_optimization_rate,
+        )
+        out_rot, out_trans, removed, kill, bad_obs, robust = _fetch(*out)
+        if self._apply_ba_result(
+            reconstruction, rec, view_keys, removed, out_rot, out_trans
+        ) is None:
+            log.info("failed to bundle adjust reconstruction")
+            return None
+        if any(removed[i] for i in range(len(view_keys))):
+            return False
+        for i in range(n):
+            if kill[i]:
+                self.split_landmark(reconstruction, landmarks[i])
+                continue
+            for j in np.nonzero(bad_obs[i])[0]:
+                data.split_observation(
+                    reconstruction, int(views_h[i, j]), int(feats_h[i, j])
+                )
+        robust = int(robust)
+        log.info("filtering left %d robust landmarks", robust)
+        if robust < s.minimum_robust_landmarks:
+            data.remove_reconstruction(reconstruction)
+            return None
+        return True
 
     # -- observation filtering (lib.rs:2657-2757) --------------------------------------
     def filter_non_robust_observations(self, reconstruction):

@@ -157,3 +157,37 @@ class TestPrefetchPipeline:
         fa, fb = engine.data.frames[frame], engine.data.frames[plain]
         np.testing.assert_array_equal(fa.descriptors, fb.descriptors)
         np.testing.assert_array_equal(fa.sketch, fb.sketch)
+
+
+class TestInterleavedCut:
+    """'+inter' describe mode: the pixel-interleaved plane stack and its one
+    (128, 384) row-contiguous patch slice must be BIT-identical to the
+    channel-major path — the layout change exists purely to cut the gather
+    row count 3x (docs/perf-notes.md round 4)."""
+
+    def test_words_bitwise_equal(self):
+        rng = np.random.default_rng(3)
+        img = rng.uniform(0, 255, (192, 256)).astype(np.uint8)
+        batch = jnp.asarray(to_gray_f32(img))[None]
+        base = DeviceExtractor(
+            Akaze(detector_threshold=0.001),
+            candidate_budget=128,
+            max_features=256,
+            onehot_mode="highest",
+        ).extract(batch)
+        inter = DeviceExtractor(
+            Akaze(detector_threshold=0.001),
+            candidate_budget=128,
+            max_features=256,
+            onehot_mode="highest+inter",
+        ).extract(batch)
+        assert int(np.asarray(base.count)[0]) > 20
+        np.testing.assert_array_equal(
+            np.asarray(base.valid), np.asarray(inter.valid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.words), np.asarray(inter.words)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.angle), np.asarray(inter.angle)
+        )

@@ -588,3 +588,86 @@ class TestMergeScenarioSeeds:
 
         merged, views = bench._bench_sfm_merge(n_seg=5, seed=seed)
         assert merged, (seed, views)
+
+
+class TestTrajectoryGroundTruth:
+    """Absolute trajectory error against the renderer's known poses.
+
+    The synthetic renderer (cv_tpu.apps.synth) KNOWS every camera pose, so
+    the full image pipeline (AKAZE extract -> match -> register -> BA ->
+    filter) is gated on trajectory QUALITY, not just registration counts:
+    after a similarity (Umeyama) alignment of the estimated camera centers
+    to ground truth, the ATE must be a small fraction of the trajectory
+    extent, and every consecutive relative rotation must be accurate."""
+
+    @staticmethod
+    def _umeyama(src, dst):
+        """Similarity transform (s, R, t) minimizing ||s R src + t - dst||."""
+        mu_s, mu_d = src.mean(0), dst.mean(0)
+        xs, xd = src - mu_s, dst - mu_d
+        cov = xd.T @ xs / len(src)
+        u, d, vt = np.linalg.svd(cov)
+        sgn = np.eye(3)
+        if np.linalg.det(u) * np.linalg.det(vt) < 0:
+            sgn[2, 2] = -1.0
+        r = u @ sgn @ vt
+        var_s = (xs**2).sum() / len(src)
+        s = np.trace(np.diag(d) @ sgn) / var_s
+        t = mu_d - s * r @ mu_s
+        return s, r, t
+
+    def test_ate_below_two_percent(self):
+        from cv_tpu.akaze.fast import FastAkazeExtractor
+        from cv_tpu.apps.synth import render_sequence
+        from cv_tpu.camera import CameraIntrinsics, CameraIntrinsicsK1Distortion
+
+        n_frames = 10
+        images, (fx, fy, cx, cy), true_poses = render_sequence(
+            n_frames=n_frames, height=512, width=640, n_points=900, seed=0
+        )
+        settings = VSlamSettings(
+            akaze_threshold=0.001,
+            tracking_features=1024,
+            two_view_minimum_robust_matches=32,
+            optimization_iterations=256,
+            three_view_patience=4000,
+            single_view_patience=4000,
+            constraint_patience=1000,
+            tracking_recent_frames=8,
+        )
+        engine = VSlam(settings=settings, seed=0, extractor_cls=FastAkazeExtractor)
+        intr = CameraIntrinsicsK1Distortion.new(
+            CameraIntrinsics.from_values(fx, fy, cx, cy), 0.0
+        )
+        feed = engine.add_feed(intr)
+        for img in images:
+            engine.add_frame(feed, img)
+
+        assert len(engine.data.reconstructions) == 1
+        rec_key = next(iter(engine.data.reconstructions))
+        rec = engine.data.reconstructions[rec_key]
+        est = {}
+        for view in rec.views.values():
+            est[engine.data.frames[view.frame].feed_frame] = view.pose
+        assert len(est) == n_frames, f"only {len(est)}/{n_frames} registered"
+
+        def center(pose):
+            r, t = pose
+            return -r.T @ t
+
+        est_c = np.stack([center(est[i]) for i in range(n_frames)])
+        true_c = np.stack([center(true_poses[i]) for i in range(n_frames)])
+        s, r, t = self._umeyama(est_c, true_c)
+        resid = (s * est_c @ r.T + t) - true_c
+        ate = float(np.sqrt((resid**2).sum(axis=1).mean()))
+        extent = float(
+            np.linalg.norm(true_c.max(axis=0) - true_c.min(axis=0))
+        )
+        assert ate / extent < 0.02, (ate, extent)
+
+        # Consecutive relative rotations within 1 degree.
+        for i in range(n_frames - 1):
+            est_rel = se3.compose(est[i + 1], se3.inverse(est[i]))
+            true_rel = se3.compose(true_poses[i + 1], se3.inverse(true_poses[i]))
+            err = np.linalg.norm(se3.so3_log(est_rel[0].T @ true_rel[0]))
+            assert err < np.deg2rad(1.0), (i, np.rad2deg(err))
