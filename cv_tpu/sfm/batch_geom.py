@@ -33,6 +33,47 @@ def view_caches(data, reconstruction):
     return view_pose, view_bearings
 
 
+def _pack_flat(obs_lists, o_max=None):
+    """Flatten per-row observation lists; everything downstream of the two
+    ``fromiter`` passes is vectorized NumPy (the old per-observation Python
+    loop walled reference-scale frames at ~10^5 observations per pass).
+
+    Returns ``(o, i_flat, j_flat, vs, fs, uniq_v, inv)``: padded width,
+    flat row/slot indices, flat view keys / feature indices, the unique
+    view keys, and each flat observation's index into ``uniq_v``.
+    """
+    n = len(obs_lists)
+    counts = np.fromiter((len(x) for x in obs_lists), np.int64, count=n)
+    total = int(counts.sum())
+    o = int(counts.max()) if n else 0
+    if o_max is not None:
+        o = max(o, o_max)
+    o = max(o, 1)
+    vs = np.fromiter(
+        (v for obs in obs_lists for v, _ in obs), np.int64, count=total
+    )
+    fs = np.fromiter(
+        (f for obs in obs_lists for _, f in obs), np.int64, count=total
+    )
+    i_flat = np.repeat(np.arange(n, dtype=np.int64), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    j_flat = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    uniq_v, inv = np.unique(vs, return_inverse=True)
+    return o, i_flat, j_flat, vs, fs, uniq_v, inv
+
+
+def _gather_bearings(view_bearings, vs, fs, uniq_v, inv):
+    """bear_flat[k] = view_bearings[vs[k]][fs[k]] via one vectorized gather
+    per distinct view."""
+    bear_flat = np.empty((len(vs), 3))
+    order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[order], np.arange(len(uniq_v) + 1))
+    for u, v in enumerate(uniq_v):
+        sel = order[bounds[u] : bounds[u + 1]]
+        bear_flat[sel] = view_bearings[v][fs[sel]]
+    return bear_flat
+
+
 def pack_observations(obs_lists, view_pose, view_bearings, o_max=None):
     """Pack per-row observation lists into padded arrays.
 
@@ -43,10 +84,7 @@ def pack_observations(obs_lists, view_pose, view_bearings, o_max=None):
     count are masked with identity poses / +z bearings.
     """
     n = len(obs_lists)
-    o = max((len(x) for x in obs_lists), default=0)
-    if o_max is not None:
-        o = max(o, o_max)
-    o = max(o, 1)
+    o, i_flat, j_flat, vs, fs, uniq_v, inv = _pack_flat(obs_lists, o_max)
     rot = np.tile(np.eye(3), (n, o, 1, 1))
     trans = np.zeros((n, o, 3))
     bear = np.zeros((n, o, 3))
@@ -54,16 +92,41 @@ def pack_observations(obs_lists, view_pose, view_bearings, o_max=None):
     mask = np.zeros((n, o), bool)
     views = np.zeros((n, o), np.int64)
     feats = np.zeros((n, o), np.int64)
-    for i, obs in enumerate(obs_lists):
-        for j, (v, f) in enumerate(obs):
-            r, t = view_pose[v]
-            rot[i, j] = r
-            trans[i, j] = t
-            bear[i, j] = view_bearings[v][f]
-            mask[i, j] = True
-            views[i, j] = v
-            feats[i, j] = f
+    if len(vs):
+        rot_table = np.stack([view_pose[v][0] for v in uniq_v])
+        trans_table = np.stack([view_pose[v][1] for v in uniq_v])
+        rot[i_flat, j_flat] = rot_table[inv]
+        trans[i_flat, j_flat] = trans_table[inv]
+        bear[i_flat, j_flat] = _gather_bearings(view_bearings, vs, fs, uniq_v, inv)
+        mask[i_flat, j_flat] = True
+        views[i_flat, j_flat] = vs
+        feats[i_flat, j_flat] = fs
     return rot, trans, bear, mask, views, feats
+
+
+def pack_observation_indices(obs_lists, view_index, view_bearings, o_max=None):
+    """Pose-free variant for fused device programs that gather poses ON
+    DEVICE from a BA output (see ``device_refine.ba_filter``): returns
+    ``(view_idx (L, O) int32 rows into the program's view arrays, bearings
+    (L, O, 3) with +z padding, mask (L, O), views (L, O) int64, features
+    (L, O) int64)``.  ``view_index``: view key -> row index mapping."""
+    n = len(obs_lists)
+    o, i_flat, j_flat, vs, fs, uniq_v, inv = _pack_flat(obs_lists, o_max)
+    view_idx = np.zeros((n, o), np.int32)
+    bear = np.zeros((n, o, 3))
+    bear[:, :, 2] = 1.0
+    mask = np.zeros((n, o), bool)
+    views = np.zeros((n, o), np.int64)
+    feats = np.zeros((n, o), np.int64)
+    if len(vs):
+        idx_table = np.fromiter((view_index[v] for v in uniq_v), np.int32,
+                                count=len(uniq_v))
+        view_idx[i_flat, j_flat] = idx_table[inv]
+        bear[i_flat, j_flat] = _gather_bearings(view_bearings, vs, fs, uniq_v, inv)
+        mask[i_flat, j_flat] = True
+        views[i_flat, j_flat] = vs
+        feats[i_flat, j_flat] = fs
+    return view_idx, bear, mask, views, feats
 
 
 def pack_landmarks(data, reconstruction, landmarks, o_max=None):

@@ -1786,23 +1786,20 @@ class VSlam:
         ]
         n = len(landmarks)
         lb = _bucket(max(n, 1))
-        o = max((len(x) for x in obs_lists), default=0)
+        vi, bear_n, mask_n, views_h, feats_h = batch_geom.pack_observation_indices(
+            obs_lists, index, view_bearings
+        )
+        o = vi.shape[1]
         ob = _bucket(max(o, 2), minimum=4)
         lm_view = np.zeros((lb, ob), np.int32)
         lm_bear = np.zeros((lb, ob, 3))
         lm_bear[:, :, 2] = 1.0
         lm_mask = np.zeros((lb, ob), bool)
         lm_valid = np.zeros(lb, bool)
-        views_h = np.zeros((lb, ob), np.int64)
-        feats_h = np.zeros((lb, ob), np.int64)
-        for i, obs in enumerate(obs_lists):
-            lm_valid[i] = True
-            for j, (v, f) in enumerate(obs):
-                lm_view[i, j] = index[v]
-                lm_bear[i, j] = view_bearings[v][f]
-                lm_mask[i, j] = True
-                views_h[i, j] = v
-                feats_h[i, j] = f
+        lm_view[:n, :o] = vi
+        lm_bear[:n, :o] = bear_n
+        lm_mask[:n, :o] = mask_n
+        lm_valid[:n] = True
         needed = min(s.robust_minimum_observations, len(view_keys))
         out = device_refine.ba_filter(
             *(jnp.asarray(a) for a in arrays),
