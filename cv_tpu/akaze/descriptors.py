@@ -623,7 +623,25 @@ def orient_mldb_onehot(
     mode, _, rows = mode.partition("+")
     fused_rows = rows == "fused"
     use_k = mode == "bf16x3k"
+    use_epatch = mode == "pepatch"
     use_pallas = mode in ("pallas", "pgather")
+    if use_epatch:
+        # The cut happens inside the kernel as per-keypoint ELEMENT-offset
+        # block DMAs — no patch buffer exists (pallas_mldb.select_samples_epatch).
+        assert not interleaved, "'pepatch' reads the channel-major stack"
+        from . import pallas_mldb
+
+        def _epatch_select(lvl_c, y0_c, x0_c, rel_x, rel_y, c0=0):
+            ns_in = rel_x.shape[1]
+            ns_pad = (-ns_in) % 128
+            if ns_pad:
+                rel_x = jnp.pad(rel_x, ((0, 0), (0, ns_pad)))
+                rel_y = jnp.pad(rel_y, ((0, 0), (0, ns_pad)))
+            vals = pallas_mldb.select_samples_epatch(
+                planes, lvl_c, y0_c, x0_c, rel_x, rel_y, c0=c0
+            )
+            return vals[:, :, :ns_in]
+
     if use_pallas:
         from . import pallas_mldb
 
@@ -673,7 +691,9 @@ def orient_mldb_onehot(
     def do_chunk(args):
         lvl_c, y0_c, x0_c, orx, ory, xf_c, yf_c, sc_c, w_c, h_c = args
 
-        if interleaved:
+        if use_epatch:
+            patch = None
+        elif interleaved:
 
             def slice_one(l, y, x):
                 return jax.lax.dynamic_slice(
@@ -696,7 +716,9 @@ def orient_mldb_onehot(
             patch = jax.vmap(slice_one)(lvl_c, y0_c, x0_c)  # (chunk, 3, p, p)
 
         # --- orientation from the same patch ---
-        if use_k:
+        if use_epatch:
+            vo = _epatch_select(lvl_c, y0_c, x0_c, orx, ory, c0=1)
+        elif use_k:
             vo = _select_bf16x3k(orx, ory, patch[:, 1:])  # (chunk, 2, n_or)
         elif use_pallas:
             vo = _pallas_select(patch, orx, ory, c0=1)  # (chunk, 2, n_or)
@@ -725,7 +747,9 @@ def orient_mldb_onehot(
         rel_x = jnp.clip(x1 - x0_c[:, None], 0, p - 1)
         rel_y = jnp.clip(y1 - y0_c[:, None], 0, p - 1)
 
-        if use_k:
+        if use_epatch:
+            vals = _epatch_select(lvl_c, y0_c, x0_c, rel_x, rel_y)
+        elif use_k:
             vals = _select_bf16x3k(rel_x, rel_y, patch)  # (chunk, 3, ns)
         elif use_pallas:
             vals = _pallas_select(patch, rel_x, rel_y)  # (chunk, 3, ns)

@@ -710,7 +710,7 @@ def stage_describe(cfg, planes, sel, sampler: str, onehot_mode: str = "highest")
             # Bigger chunks amortize per-call overhead for the Pallas gather
             # kernel (fewer pallas_call launches under lax.map); the XLA
             # one-hot path keeps 128 to bound its HBM intermediates.
-            chunk=512 if onehot_mode == "pgather" else 128,
+            chunk=512 if onehot_mode in ("pgather", "pepatch") else 128,
             mode=onehot_mode,
             interleaved=interleaved,
         )

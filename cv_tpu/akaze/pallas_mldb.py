@@ -241,6 +241,101 @@ def select_samples(
     )(rel_x, rel_y, patches)
 
 
+def _select_kernel_epatch(
+    lvl_ref, y0_ref, x0_ref,  # scalar-prefetch (K,) i32
+    relx_ref, rely_ref,       # (1, G, NS) patch-relative, in [0, P)
+    *rest, c, ns, c0, g,
+):
+    """Per-keypoint patches arrive as ELEMENT-offset DMA blocks — the cut
+    happens in the BlockSpec, not in XLA gathers or in-kernel selects; the
+    sample selection is the proven per-tile gather chain of
+    :func:`_select_kernel_gather` (1.47 us/kp on the v5e)."""
+    patches = rest[:g]
+    out_ref = rest[g]
+    for j in range(g):
+        for cc in range(ns // P):
+            rx = relx_ref[0, j, cc * P : (cc + 1) * P]  # (P,) on lanes
+            ry = rely_ref[0, j, cc * P : (cc + 1) * P]
+            rx_b = jnp.broadcast_to(rx[None, :], (P, P))
+            q = ry // 8
+            r_b = jnp.broadcast_to((ry % 8)[None, :], (8, P))
+            qmask = (
+                jax.lax.broadcasted_iota(jnp.int32, (P // 8, 8, P), 0)
+                == q[None, None, :]
+            )
+            for ch in range(c0, c):
+                p = patches[j][0, ch]  # (P, P)
+                u = jnp.take_along_axis(p, rx_b, axis=1)
+                w = jnp.sum(
+                    jnp.where(qmask, u.reshape(P // 8, 8, P), 0.0), axis=0
+                )
+                v = jnp.take_along_axis(w, r_b, axis=0)
+                out_ref[j, ch - c0, cc * P : (cc + 1) * P] = v[0]
+
+
+@partial(jax.jit, static_argnames=("interpret", "c0", "g"))
+def select_samples_epatch(
+    planes: jnp.ndarray,  # (L, C, Hp, Wp) padded plane stack
+    lvl: jnp.ndarray,  # (K,) i32 plane index
+    y0: jnp.ndarray,  # (K,) i32 patch-origin ELEMENT offsets (0 <= y0 <= Hp-P)
+    x0: jnp.ndarray,  # (K,) i32
+    rel_x: jnp.ndarray,  # (K, NS) i32 in [0, P), patch-relative
+    rel_y: jnp.ndarray,  # (K, NS) i32
+    interpret: bool = False,
+    c0: int = 0,
+    g: int = G,
+) -> jnp.ndarray:
+    """vals[k, c - c0, s] = planes[lvl[k], c, y0[k] + rel_y[k, s],
+    x0[k] + rel_x[k, s]] — fused patch-cut + sample-select where the cut is
+    a per-keypoint ELEMENT-offset block DMA (``pl.Element``): no pre-cut
+    patch buffer, no XLA row gathers (the 18.6 ms wall at the bench shape),
+    and none of the 2x-wide window selects that sank the tile-quadrant
+    variants (the DMA lands the exact 128x128 patch).  Bit-exact f32.
+    """
+    l, c, hp, wp = planes.shape
+    k = lvl.shape[0]
+    ns = rel_x.shape[1]
+    assert ns % P == 0, ns
+    assert k % g == 0, (k, g)
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    def patch(j):
+        return pl.BlockSpec(
+            (1, c, pl.Element(P), pl.Element(P)),
+            lambda i, lvl_r, y0_r, x0_r, j=j: (
+                lvl_r[i * g + j], 0, y0_r[i * g + j], x0_r[i * g + j]
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(k // g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, g, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, g, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + [patch(j) for j in range(g)],
+        out_specs=pl.BlockSpec(
+            (g, c - c0, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        partial(_select_kernel_epatch, c=c, ns=ns, c0=c0, g=g),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, c - c0, ns), jnp.float32),
+        interpret=interpret,
+    )(
+        lvl, y0, x0,
+        rel_x.reshape(k // g, g, ns), rel_y.reshape(k // g, g, ns),
+        *([planes] * g),
+    )
+
+
 def _select_kernel_tiles(
     lvl_ref, ty_ref, tx_ref,  # scalar-prefetch (K,) i32
     relx_ref, rely_ref,       # (1, NS) window-relative, in [0, 256)

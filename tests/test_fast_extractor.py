@@ -191,3 +191,31 @@ class TestInterleavedCut:
         np.testing.assert_array_equal(
             np.asarray(base.angle), np.asarray(inter.angle)
         )
+
+
+class TestEpatchCut:
+    """'pepatch' describe mode: the patch cut happens inside the Pallas
+    kernel as per-keypoint ELEMENT-offset block DMAs (pl.Element specs) —
+    no patch buffer, no XLA row gathers.  Must be BIT-identical to the
+    one-hot path (and hence to pgather, which equals it on-device)."""
+
+    def test_words_bitwise_equal(self):
+        rng = np.random.default_rng(3)
+        img = rng.uniform(0, 255, (192, 256)).astype(np.uint8)
+        batch = jnp.asarray(to_gray_f32(img))[None]
+        base = DeviceExtractor(
+            Akaze(detector_threshold=0.001),
+            candidate_budget=128,
+            max_features=256,
+            onehot_mode="highest",
+        ).extract(batch)
+        ep = DeviceExtractor(
+            Akaze(detector_threshold=0.001),
+            candidate_budget=128,
+            max_features=256,
+            onehot_mode="pepatch",
+        ).extract(batch)
+        assert int(np.asarray(base.count)[0]) > 20
+        np.testing.assert_array_equal(np.asarray(base.valid), np.asarray(ep.valid))
+        np.testing.assert_array_equal(np.asarray(base.words), np.asarray(ep.words))
+        np.testing.assert_array_equal(np.asarray(base.angle), np.asarray(ep.angle))
