@@ -68,7 +68,51 @@ def _remaining_s():
     return BENCH_BUDGET_S - (time.time() - T0)
 
 
+def _probe_device(timeout_s=150.0):
+    """Bounded device-health check in a SUBPROCESS (a hung axon fetch can't
+    be interrupted in-process).  Returns None when healthy, else a reason
+    string.  On a wedged tunnel the main run would hang forever and the
+    round would record NOTHING (round-3 post-mortem); with the probe the
+    stdout tail at least carries a diagnosable zero-record."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/cv_tpu_jax_cache');"
+        "np.asarray((jnp.ones((128, 128)) * 2).sum())"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            return f"device probe failed rc={r.returncode}"
+        return None
+    except subprocess.TimeoutExpired:
+        return f"axon tunnel wedged (trivial fetch hung {timeout_s:.0f}s)"
+    except Exception as e:  # noqa: BLE001 - diagnostic path
+        return f"device probe error: {e}"
+
+
 def main():
+    health = _probe_device()
+    if health is not None:
+        # Diagnosable zero-record first, then still attempt the real run
+        # (the tunnel may recover mid-run; a later line supersedes this).
+        print(
+            json.dumps(
+                {
+                    "metric": "kitti_akaze_extract_match_fps_per_chip",
+                    "value": 0.0,
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": 0.0,
+                    "golden_counts_ok": False,
+                    "error": health,
+                }
+            ),
+            flush=True,
+        )
     img0 = to_gray_f32(load_gray(fixture_path("0000000000.png")))
     img14 = to_gray_f32(load_gray(fixture_path("0000000014.png")))
     batch = jnp.stack([jnp.asarray(img0), jnp.asarray(img14)] * (BATCH // 2))
