@@ -50,7 +50,13 @@ def phase_kernel():
 
     rng = np.random.default_rng(0)
     l, c, hp, wp, k, ns = 96, 3, 512, 1408, 4096, 1280
-    planes = jnp.asarray(rng.normal(size=(l, c, hp, wp)).astype(np.float32))
+    # Generate the 830 MB plane stack ON DEVICE — materializing it on host
+    # and pushing it through the axon tunnel dominates any timeout.
+    planes = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(0), (l, c, hp, wp), jnp.float32)
+    )()
+    _sync(planes)
+    print("planes resident on device", flush=True)
     lvl = jnp.asarray(rng.integers(0, l, k).astype(np.int32))
     y0 = jnp.asarray(rng.integers(0, hp - P, k).astype(np.int32))
     x0 = jnp.asarray(rng.integers(0, wp - P, k).astype(np.int32))
@@ -68,7 +74,9 @@ def phase_kernel():
         patches = jax.vmap(one)(lvl, y0, x0)
         return pm.select_samples_gather(patches, rx, ry)
 
+    print("timing cut+pgather (compiles first)...", flush=True)
     t_ref, ref = timeit(cut_plus_pgather, planes, lvl, y0, x0, rx, ry)
+    print(f"cut+pgather {t_ref:.2f} ms; timing epatch (Mosaic compile)...", flush=True)
     t_ep, out = timeit(pm.select_samples_epatch, planes, lvl, y0, x0, rx, ry)
     equal = np.array_equal(np.asarray(ref), np.asarray(out))
     print(
@@ -85,16 +93,22 @@ def phase_extract():
     img0 = to_gray_f32(load_gray(fixture_path("0000000000.png")))
     img14 = to_gray_f32(load_gray(fixture_path("0000000014.png")))
     batch = jnp.stack([jnp.asarray(img0), jnp.asarray(img14)] * 4)  # B=8
-    for mode in ("pgather", "pepatch", "pgather+inter"):
+    modes = sys.argv[2:] or ["pgather", "pepatch", "pgather+inter"]
+    for mode in modes:
         ex = DeviceExtractor(
             Akaze.sparse(), candidate_budget=512, max_features=4096,
             onehot_mode=mode,
         )
-        t, fs = timeit(ex.extract, batch, n=5)
+        try:
+            t, fs = timeit(ex.extract, batch, n=5)
+        except Exception as e:  # pepatch: Mosaic rejects mixed Element dims
+            print(f"extract B=8 {mode:14s}: FAILED {type(e).__name__}", flush=True)
+            continue
         counts = np.asarray(fs.count)[:2].tolist()
         print(
             f"extract B=8 {mode:14s}: {t:.1f} ms/batch = {8e3 / t:.0f} fps | "
-            f"goldens {counts} {'OK' if counts == [399, 343] else 'FAIL'}"
+            f"goldens {counts} {'OK' if counts == [399, 343] else 'FAIL'}",
+            flush=True,
         )
 
 
