@@ -1822,14 +1822,17 @@ class VSlam:
             return None
         if any(removed[i] for i in range(len(view_keys))):
             return False
-        for i in range(n):
-            if kill[i]:
-                self.split_landmark(reconstruction, landmarks[i])
-                continue
-            for j in np.nonzero(bad_obs[i])[0]:
-                data.split_observation(
-                    reconstruction, int(views_h[i, j]), int(feats_h[i, j])
-                )
+        # Vectorized split scan: one np.nonzero over the (landmark, obs)
+        # verdict masks instead of a Python row loop with a nonzero per
+        # landmark (n is thousands at reference scale; the verdicts for a
+        # killed landmark's observations are superseded by its split).
+        for i in np.nonzero(kill[:n])[0]:
+            self.split_landmark(reconstruction, landmarks[int(i)])
+        bad_rows, bad_cols = np.nonzero(bad_obs[:n] & ~kill[:n, None])
+        for i, j in zip(bad_rows, bad_cols):
+            data.split_observation(
+                reconstruction, int(views_h[i, j]), int(feats_h[i, j])
+            )
         robust = int(robust)
         log.info("filtering left %d robust landmarks", robust)
         if robust < s.minimum_robust_landmarks:
