@@ -62,10 +62,19 @@ T0 = time.time()
 # killed a much longer round-3 one; with per-phase checkpoint lines a kill
 # mid-extras still records everything that landed.
 BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
-
-
-def _remaining_s():
-    return BENCH_BUDGET_S - (time.time() - T0)
+# Round-4 post-mortem: the driver's environment ran the flagship phase in
+# 932 s (cold compile cache + tunnel weather) vs the builder's 111 s, so the
+# 540 s budget was exhausted before the FIRST phase() call and every
+# secondary metric recorded null for the second round running.  The extras
+# now get a guaranteed minimum window of their own, measured from the moment
+# the flagship line prints — a slow flagship can delay the extras but can no
+# longer erase them.
+EXTRAS_MIN_S = float(os.environ.get("BENCH_EXTRAS_MIN_S", "300"))
+# Phases estimated at or under this always get one attempt while the
+# overdraft allowance lasts, budget notwithstanding (cheap-phases-first
+# ordering in main() puts them before the expensive ones).
+GRACE_EST_S = 60.0
+GRACE_OVERDRAFT_S = 120.0
 
 
 def _probe_device(timeout_s=150.0):
@@ -190,9 +199,19 @@ def main():
     # rc=124).
     skipped = []
     phase_s = {"extract_match": round(time.time() - T0, 1)}
+    # Extras budget: whatever the overall budget left over, but never less
+    # than EXTRAS_MIN_S (round-4 post-mortem: a 932 s flagship zeroed every
+    # secondary metric).  Clocked from now, not from T0.
+    t_extras = time.time()
+    extras_budget = max(BENCH_BUDGET_S - (t_extras - T0), EXTRAS_MIN_S)
 
     def phase(name, est_s, fn):
-        if _remaining_s() < est_s:
+        rem = extras_budget - (time.time() - t_extras)
+        # Cheap phases keep getting one attempt each inside the overdraft
+        # allowance even when the nominal budget is gone — they are the
+        # phases a slow environment can still afford, and main() orders
+        # them first.
+        if rem < est_s and not (est_s <= GRACE_EST_S and rem > -GRACE_OVERDRAFT_S):
             skipped.append(name)
             return None
         t = time.time()
@@ -217,19 +236,32 @@ def main():
     # or more of these per step: on this axon tunnel the RTT is ~25-30 ms,
     # which dominates them — the same code co-located with the TPU would
     # subtract it.
+    # Cheap phases FIRST (round-4 post-mortem: fixed-order expensive-first
+    # phases meant a slow environment recorded nothing about the engine).
     rtt = phase("tunnel_rtt", 3, _bench_tunnel_rtt)
     result["tunnel_rtt_ms"] = round(rtt, 2) if rtt is not None else None
+    checkpoint()
+
+    rs = phase("ransac", 20, _bench_ransac)
+    result["ransac_pose_fits_per_sec"] = round(rs, 1) if rs is not None else None
+
+    ba = phase("graph_ba", 15, _bench_graph_ba)
+    result["ba_iters_per_sec"] = round(ba, 1) if ba is not None else None
+    checkpoint()
+
+    pp = phase("pose_pipeline", 30, _bench_pose_pipeline)
+    result["pose_pipeline_ms"] = round(pp[0], 2) if pp else None
+    result["pose_pipeline_inliers"] = pp[1] if pp else None
+    checkpoint()
+
+    rf = phase("roofline", 30, _bench_roofline)
+    result["roofline"] = rf
     checkpoint()
 
     sfm = phase("sfm_end_to_end", 150, _bench_sfm_end_to_end)
     result["sfm_end_to_end_fps"] = round(sfm[0], 2) if sfm else None
     result["sfm_views"] = sfm[1] if sfm else None
     result["sfm_landmarks"] = sfm[2] if sfm else None
-    checkpoint()
-
-    pp = phase("pose_pipeline", 30, _bench_pose_pipeline)
-    result["pose_pipeline_ms"] = round(pp[0], 2) if pp else None
-    result["pose_pipeline_inliers"] = pp[1] if pp else None
     checkpoint()
 
     # Loop-closure merge scenario: two disjoint trajectory segments form
@@ -242,11 +274,14 @@ def main():
     result["sfm_merge_views"] = mg[1] if mg else None
     checkpoint()
 
-    rs = phase("ransac", 20, _bench_ransac)
-    result["ransac_pose_fits_per_sec"] = round(rs, 1) if rs is not None else None
-
-    ba = phase("graph_ba", 15, _bench_graph_ba)
-    result["ba_iters_per_sec"] = round(ba, 1) if ba is not None else None
+    # Dense-regime anchor: default-threshold counts vs the NumPy-oracle
+    # goldens (akaze/src/lib.rs:169-185 defaults; counts 3425/2908 anchored
+    # by tests/test_oracle.py).  Estimated at its COLD compile cost — a
+    # fresh B=2/M=4096 extract program — so it only runs when real budget
+    # remains; in a warm cache it takes a few seconds.
+    da = phase("dense_anchor", 150, _bench_dense_anchor)
+    result["dense_anchor_counts"] = da[0] if da else None
+    result["dense_anchor_ok"] = da[1] if da else None
     checkpoint()
 
     # Sharpen the flagship number last: extra timed bursts only after every
@@ -257,6 +292,92 @@ def main():
             result["value"] = round(fps, 2)
             result["vs_baseline"] = round(fps / BASELINE_FPS, 4)
     checkpoint()
+
+
+def _bench_roofline(batch_size=BATCH):
+    """Scale-space bandwidth roofline: achieved GB/s against the chip's
+    measured copy bandwidth (docs/perf-notes.md 'Roofline': the diffusion +
+    detector-response stage is HBM-bound, so its achieved fraction of peak
+    is the per-chip check behind the 1000-fps-needs-v5p claim).
+
+    The traffic model counts each separable filter as two read+write plane
+    traversals, PM-g2 as a 3-plane pass and each FED tau as a 3-plane
+    stencil pass — the naive-pass model the perf notes derive ~8.2 GB at
+    B=8 from (XLA fuses some chains, so achieved/model can exceed 1 on a
+    fast chip; the FRACTION of copy peak is the portable number)."""
+    from cv_tpu.akaze.fast import DeviceExtractor
+    from cv_tpu.akaze.scale_space import build_scale_space
+
+    img0 = to_gray_f32(load_gray(fixture_path("0000000000.png")))
+    img14 = to_gray_f32(load_gray(fixture_path("0000000014.png")))
+    batch = jnp.stack(
+        [jnp.asarray(img0), jnp.asarray(img14)] * (batch_size // 2)
+    )
+    ex = DeviceExtractor(Akaze.sparse(), candidate_budget=256, max_features=512)
+    h, w = img0.shape
+    specs = ex._helper.specs(h, w)
+
+    model_bytes = 0.0
+    for i, s in enumerate(specs):
+        plane = batch_size * s.height * s.width * 4.0
+        n_tau = len(s.fed_tau_steps)
+        if i == 0:
+            # blur (2 passes) + response filters (5 x 2 passes) + Ldet
+            passes = 2 * 2 + 20 * 2 + 4
+        else:
+            # half/copy + blur + Scharr x2 + pm_g2 + FED + response + Ldet
+            passes = 2 + 2 * 2 + 2 * 2 * 2 + 3 + 3 * n_tau + 20 * 2 + 4
+        model_bytes += plane * passes / 2.0  # passes counted in half-passes
+
+    j_ss = jax.jit(
+        lambda imgs: tuple(p.ldet for p in build_scale_space(ex.config, specs, imgs))
+    )
+    ss_ms, _ = _time_jit(j_ss, batch)
+
+    # Copy-bandwidth probe: 8 dependent elementwise passes over 256 MB in
+    # ONE program (a single-pass kernel is dispatch-bound through the axon
+    # tunnel — measured 84 GB/s apparent vs ~800 peak; chaining passes
+    # amortizes the dispatch into real device time).
+    big = jnp.zeros((64, 1024, 1024), jnp.float32)
+
+    def _chain(x):
+        for _ in range(8):
+            x = x * 1.0000001 + 1.0
+        return x
+
+    j_copy = jax.jit(_chain)
+    copy_ms, _ = _time_jit(j_copy, big)
+    copy_gbps = 8 * 2 * big.size * 4 / (copy_ms * 1e-3) / 1e9
+
+    achieved = model_bytes / (ss_ms * 1e-3) / 1e9
+    return {
+        "scale_space_ms": round(ss_ms, 2),
+        "model_gb": round(model_bytes / 1e9, 2),
+        "achieved_gbps": round(achieved, 1),
+        "copy_gbps": round(copy_gbps, 1),
+        "bw_fraction": round(achieved / copy_gbps, 3),
+    }
+
+
+def _bench_dense_anchor():
+    """Default-threshold (1e-3) extraction counts on the KITTI pair vs the
+    NumPy-oracle anchors 3425/2908 (reference defaults akaze/src/lib.rs:
+    169-185; oracle gate in tests/test_oracle.py).  The device extractor is
+    allowed the documented fringe tolerance (sub-ULP near-ties at the
+    threshold and dedup boundaries): counts must land within 0.5%."""
+    from cv_tpu.akaze.fast import DeviceExtractor
+
+    img0 = to_gray_f32(load_gray(fixture_path("0000000000.png")))
+    img14 = to_gray_f32(load_gray(fixture_path("0000000014.png")))
+    batch = jnp.stack([jnp.asarray(img0), jnp.asarray(img14)])
+    ex = DeviceExtractor(Akaze(), candidate_budget=2048, max_features=4096)
+    counts = np.asarray(ex.extract(batch).count)
+    anchors = (3425, 2908)
+    ok = all(
+        abs(int(c) - a) <= max(2, int(0.005 * a))
+        for c, a in zip(counts, anchors)
+    )
+    return [int(counts[0]), int(counts[1])], bool(ok)
 
 
 def _bench_tunnel_rtt():
@@ -776,6 +897,20 @@ def filters_main():
 if __name__ == "__main__":
     if "--filters" in sys.argv:
         filters_main()
+    elif "--roofline" in sys.argv:
+        print(json.dumps({"metric": "scale_space_roofline", **_bench_roofline()}))
+    elif "--dense-anchor" in sys.argv:
+        counts, ok = _bench_dense_anchor()
+        print(
+            json.dumps(
+                {
+                    "metric": "dense_anchor",
+                    "counts": counts,
+                    "anchors": [3425, 2908],
+                    "ok": ok,
+                }
+            )
+        )
     elif "--stages" in sys.argv:
         bs = BATCH
         for a in sys.argv[1:]:

@@ -10,11 +10,16 @@ table -> bit-pack.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Retired sample-select strategies (the round-4 measured losers 'ptiles' /
+# 'pepatch') register here when experiments/pallas_mldb_losers.py is
+# imported; the library itself ships only the winners.
+EXTERNAL_MODES: dict = {}
 
 # ---------------------------------------------------------------------------
 # Static tables
@@ -479,96 +484,6 @@ def _onehot_select_rows(oh_col, patch, mode):
     return acc
 
 
-def _orient_mldb_ptiles(
-    planes, lvl, width, height, xf, yf, scale, pattern_size
-):
-    """Fully-fused describe: NO per-keypoint patch buffer.
-
-    ``select_samples_tiles`` reads each keypoint's 256x256 window straight
-    from the padded plane stack as four scalar-prefetch-indexed (128, 128)
-    quadrant blocks; keypoints are tile-sorted first so consecutive grid
-    steps reuse quadrants and Pallas skips their DMAs.  This removes the
-    XLA patch cut (measured 18.6 ms for 4096 keypoints at B=8 — a
-    latency-bound row gather) and its 805 MB buffer entirely, and the
-    whole describe runs as vectorized K-wide stages instead of chunked
-    ``lax.map`` steps.  Outputs are bit-identical to the 'pgather'/
-    'highest' paths (pure f32 gathers; tests gate it).
-    """
-    from . import pallas_mldb
-
-    k_total = xf.shape[0]
-    hmax, wmax = planes.shape[2], planes.shape[3]
-    ht, wt = hmax // 128, wmax // 128
-    p = 128
-    # Patch anchor exactly as the chunked paths compute it, then the
-    # enclosing 256-window tile (clamped so ty+1/tx+1 stay in range).
-    y0 = jnp.clip(yf.astype(jnp.int32) - p // 2, 0, hmax - p)
-    x0 = jnp.clip(xf.astype(jnp.int32) - p // 2, 0, wmax - p)
-    ty = jnp.clip(y0 // p, 0, ht - 2)
-    tx = jnp.clip(x0 // p, 0, wt - 2)
-
-    # Tile-sort the keypoints (argsort is stable; the inverse permutation
-    # restores caller order at the end).
-    key = (lvl.astype(jnp.int64) * ht + ty) * wt + tx
-    perm = jnp.argsort(key)
-    inv = jnp.argsort(perm)
-
-    def s(a):
-        return a[perm]
-
-    lvl_s, ty_s, tx_s = s(lvl), s(ty), s(tx)
-    xf_s, yf_s, sc_s = s(xf), s(yf), s(scale)
-    w_s, h_s = s(width), s(height)
-
-    # Orientation samples (window-relative).
-    di, dj, wt_g = (jnp.asarray(a) for a in orientation_table())
-    ox = round_half_away(xf_s[:, None] + di[None, :] * sc_s[:, None]).astype(jnp.int32)
-    oy = round_half_away(yf_s[:, None] + dj[None, :] * sc_s[:, None]).astype(jnp.int32)
-    ox = jnp.clip(ox, 0, w_s[:, None] - 1)
-    oy = jnp.clip(oy, 0, h_s[:, None] - 1)
-    orel_x = jnp.clip(ox - tx_s[:, None] * p, 0, 2 * p - 1)
-    orel_y = jnp.clip(oy - ty_s[:, None] * p, 0, 2 * p - 1)
-    n_or = int(di.shape[0])
-    pad_or = (-n_or) % p
-    if pad_or:
-        orel_x = jnp.pad(orel_x, ((0, 0), (0, pad_or)))
-        orel_y = jnp.pad(orel_y, ((0, 0), (0, pad_or)))
-    vo = pallas_mldb.select_samples_tiles8(
-        planes, lvl_s, ty_s, tx_s, orel_x, orel_y, c0=1
-    )[:, :, :n_or]  # (K, 2, n_or)
-    res_x = wt_g[None, :] * vo[:, 0]
-    res_y = wt_g[None, :] * vo[:, 1]
-    angle_s = _orientation_from_samples(res_x, res_y)
-
-    # M-LDB samples (need the angle).
-    uk, ul, _, _ = mldb_unique_tables(pattern_size)
-    ks = jnp.asarray(uk.astype(np.float32))
-    ls = jnp.asarray(ul.astype(np.float32))
-    co = jnp.cos(angle_s)[:, None]
-    si = jnp.sin(angle_s)[:, None]
-    sc = sc_s[:, None]
-    sy = yf_s[:, None] + (ls[None, :] * co + ks[None, :] * si) * sc
-    sx = xf_s[:, None] + (-ls[None, :] * si + ks[None, :] * co) * sc
-    x1 = round_half_away(sx).astype(jnp.int32)
-    y1 = round_half_away(sy).astype(jnp.int32)
-    oob = (x1 < 0) | (x1 >= w_s[:, None]) | (y1 < 0) | (y1 >= h_s[:, None])
-    ok_s = ~jnp.any(oob, axis=-1)
-    x1 = jnp.clip(x1, 0, w_s[:, None] - 1)
-    y1 = jnp.clip(y1, 0, h_s[:, None] - 1)
-    rel_x = jnp.clip(x1 - tx_s[:, None] * p, 0, 2 * p - 1)
-    rel_y = jnp.clip(y1 - ty_s[:, None] * p, 0, 2 * p - 1)
-    ns = int(uk.shape[0])
-    pad_ns = (-ns) % p
-    if pad_ns:
-        rel_x = jnp.pad(rel_x, ((0, 0), (0, pad_ns)))
-        rel_y = jnp.pad(rel_y, ((0, 0), (0, pad_ns)))
-    vals = pallas_mldb.select_samples_tiles8(
-        planes, lvl_s, ty_s, tx_s, rel_x, rel_y
-    )[:, :, :ns]  # (K, 3, ns)
-    words_s = _mldb_pack(vals[:, 0], vals[:, 1], vals[:, 2], co, si, pattern_size)
-    return words_s[inv], ok_s[inv], angle_s[inv]
-
-
 def orient_mldb_onehot(
     planes: jnp.ndarray,  # (L, 3, Hmax, Wmax) channel-major padded stack,
     #                       or (L, Hmax, 3*Wmax) pixel-interleaved when
@@ -599,10 +514,15 @@ def orient_mldb_onehot(
     keypoint (bit-exact; the de-interleave is a pure relayout).
     """
     if mode == "ptiles":
-        # Fully-fused path: no patch buffer, no chunking (see
-        # _orient_mldb_ptiles).
+        # Retired measured-loser path; available only when
+        # experiments/pallas_mldb_losers.py has been imported.
         assert not interleaved, "'ptiles' reads the channel-major stack"
-        return _orient_mldb_ptiles(
+        if mode not in EXTERNAL_MODES:
+            raise KeyError(
+                "'ptiles' was retired to experiments/pallas_mldb_losers.py; "
+                "import that module first"
+            )
+        return EXTERNAL_MODES[mode](
             planes, lvl, width, height, xf, yf, scale, pattern_size
         )
     k_total = xf.shape[0]
@@ -626,21 +546,16 @@ def orient_mldb_onehot(
     use_epatch = mode == "pepatch"
     use_pallas = mode in ("pallas", "pgather")
     if use_epatch:
-        # The cut happens inside the kernel as per-keypoint ELEMENT-offset
-        # block DMAs — no patch buffer exists (pallas_mldb.select_samples_epatch).
+        # Retired measured-loser path (the cut as per-keypoint ELEMENT-offset
+        # block DMAs); available only when experiments/pallas_mldb_losers.py
+        # has been imported.
         assert not interleaved, "'pepatch' reads the channel-major stack"
-        from . import pallas_mldb
-
-        def _epatch_select(lvl_c, y0_c, x0_c, rel_x, rel_y, c0=0):
-            ns_in = rel_x.shape[1]
-            ns_pad = (-ns_in) % 128
-            if ns_pad:
-                rel_x = jnp.pad(rel_x, ((0, 0), (0, ns_pad)))
-                rel_y = jnp.pad(rel_y, ((0, 0), (0, ns_pad)))
-            vals = pallas_mldb.select_samples_epatch(
-                planes, lvl_c, y0_c, x0_c, rel_x, rel_y, c0=c0
+        if "pepatch" not in EXTERNAL_MODES:
+            raise KeyError(
+                "'pepatch' was retired to experiments/pallas_mldb_losers.py; "
+                "import that module first"
             )
-            return vals[:, :, :ns_in]
+        _epatch_select = partial(EXTERNAL_MODES["pepatch"], planes)
 
     if use_pallas:
         from . import pallas_mldb

@@ -241,313 +241,8 @@ def select_samples(
     )(rel_x, rel_y, patches)
 
 
-def _select_kernel_epatch(
-    lvl_ref, y0_ref, x0_ref,  # scalar-prefetch (K,) i32
-    relx_ref, rely_ref,       # (1, G, NS) patch-relative, in [0, P)
-    *rest, c, ns, c0, g,
-):
-    """Per-keypoint patches arrive as ELEMENT-offset DMA blocks — the cut
-    happens in the BlockSpec, not in XLA gathers or in-kernel selects; the
-    sample selection is the proven per-tile gather chain of
-    :func:`_select_kernel_gather` (1.47 us/kp on the v5e)."""
-    patches = rest[:g]
-    out_ref = rest[g]
-    for j in range(g):
-        for cc in range(ns // P):
-            rx = relx_ref[0, j, cc * P : (cc + 1) * P]  # (P,) on lanes
-            ry = rely_ref[0, j, cc * P : (cc + 1) * P]
-            rx_b = jnp.broadcast_to(rx[None, :], (P, P))
-            q = ry // 8
-            r_b = jnp.broadcast_to((ry % 8)[None, :], (8, P))
-            qmask = (
-                jax.lax.broadcasted_iota(jnp.int32, (P // 8, 8, P), 0)
-                == q[None, None, :]
-            )
-            for ch in range(c0, c):
-                p = patches[j][0, ch]  # (P, P)
-                u = jnp.take_along_axis(p, rx_b, axis=1)
-                w = jnp.sum(
-                    jnp.where(qmask, u.reshape(P // 8, 8, P), 0.0), axis=0
-                )
-                v = jnp.take_along_axis(w, r_b, axis=0)
-                out_ref[j, ch - c0, cc * P : (cc + 1) * P] = v[0]
-
-
-@partial(jax.jit, static_argnames=("interpret", "c0", "g"))
-def select_samples_epatch(
-    planes: jnp.ndarray,  # (L, C, Hp, Wp) padded plane stack
-    lvl: jnp.ndarray,  # (K,) i32 plane index
-    y0: jnp.ndarray,  # (K,) i32 patch-origin ELEMENT offsets (0 <= y0 <= Hp-P)
-    x0: jnp.ndarray,  # (K,) i32
-    rel_x: jnp.ndarray,  # (K, NS) i32 in [0, P), patch-relative
-    rel_y: jnp.ndarray,  # (K, NS) i32
-    interpret: bool = False,
-    c0: int = 0,
-    g: int = G,
-) -> jnp.ndarray:
-    """vals[k, c - c0, s] = planes[lvl[k], c, y0[k] + rel_y[k, s],
-    x0[k] + rel_x[k, s]] — fused patch-cut + sample-select where the cut is
-    a per-keypoint ELEMENT-offset block DMA (``pl.Element``): no pre-cut
-    patch buffer, no XLA row gathers (the 18.6 ms wall at the bench shape),
-    and none of the 2x-wide window selects that sank the tile-quadrant
-    variants (the DMA lands the exact 128x128 patch).  Bit-exact f32.
-    """
-    l, c, hp, wp = planes.shape
-    k = lvl.shape[0]
-    ns = rel_x.shape[1]
-    assert ns % P == 0, ns
-    assert k % g == 0, (k, g)
-    interpret = interpret or jax.default_backend() == "cpu"
-
-    def patch(j):
-        return pl.BlockSpec(
-            (1, c, pl.Element(P), pl.Element(P)),
-            lambda i, lvl_r, y0_r, x0_r, j=j: (
-                lvl_r[i * g + j], 0, y0_r[i * g + j], x0_r[i * g + j]
-            ),
-            memory_space=pltpu.VMEM,
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(k // g,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, g, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, g, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ]
-        + [patch(j) for j in range(g)],
-        out_specs=pl.BlockSpec(
-            (g, c - c0, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    return pl.pallas_call(
-        partial(_select_kernel_epatch, c=c, ns=ns, c0=c0, g=g),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, c - c0, ns), jnp.float32),
-        interpret=interpret,
-    )(
-        lvl, y0, x0,
-        rel_x.reshape(k // g, g, ns), rel_y.reshape(k // g, g, ns),
-        *([planes] * g),
-    )
-
-
-def _select_kernel_tiles(
-    lvl_ref, ty_ref, tx_ref,  # scalar-prefetch (K,) i32
-    relx_ref, rely_ref,       # (1, NS) window-relative, in [0, 256)
-    q00_ref, q01_ref, q10_ref, q11_ref,  # (1, C, P, P) plane quadrants
-    out_ref,                  # (1, C - c0, NS)
-    *, c, ns, c0,
-):
-    """Per-keypoint sample selection straight from the padded plane stack.
-
-    The 256x256 sampling window is the four (128, 128) plane quadrants
-    anchored at the keypoint's tile (ty, tx) — Blocked block indices from
-    scalar-prefetched per-keypoint tables, so Pallas pipelines (and, for
-    tile-sorted keypoints, SKIPS) the quadrant DMAs; no pre-cut patch
-    buffer exists at all.  The round-3 per-tile gather decomposition
-    extends to the 2x2 window: lane gather per quadrant column pair +
-    32-band masked reduce + sublane gather, samples on lanes throughout.
-    """
-    for cc in range(ns // P):
-        rx = relx_ref[0, 0, cc * P : (cc + 1) * P]  # (P,) lanes, [0, 256)
-        ry = rely_ref[0, 0, cc * P : (cc + 1) * P]
-        right = rx >= P
-        rx_l = jnp.where(right, rx - P, rx)
-        rx_b = jnp.broadcast_to(rx_l[None, :], (P, P))
-        bottom = ry >= P
-        ry_l = jnp.where(bottom, ry - P, ry)
-        q = ry_l // 8
-        r_b = jnp.broadcast_to((ry_l % 8)[None, :], (8, P))
-        qmask = (
-            jax.lax.broadcasted_iota(jnp.int32, (P // 8, 8, P), 0)
-            == q[None, None, :]
-        )
-        for ch in range(c0, c):
-            # Horizontal select within each vertical half, then vertical.
-            def half(top_ref, bot_ref):
-                pt = top_ref[0, ch]
-                pb = bot_ref[0, ch]
-                ut = jnp.take_along_axis(pt, rx_b, axis=1)
-                ub = jnp.take_along_axis(pb, rx_b, axis=1)
-                u = jnp.where(bottom[None, :], ub, ut)  # (P, P)
-                w = jnp.sum(
-                    jnp.where(qmask, u.reshape(P // 8, 8, P), 0.0), axis=0
-                )
-                return jnp.take_along_axis(w, r_b, axis=0)[0]  # (P,)
-
-            v_left = half(q00_ref, q10_ref)
-            v_right = half(q01_ref, q11_ref)
-            v = jnp.where(right, v_right, v_left)
-            out_ref[0, ch - c0, cc * P : (cc + 1) * P] = v
-
-
-@partial(jax.jit, static_argnames=("interpret", "c0"))
-def select_samples_tiles(
-    planes: jnp.ndarray,  # (L, C, Hp, Wp) padded plane stack, Hp/Wp % 128 == 0
-    lvl: jnp.ndarray,  # (K,) i32 plane index
-    ty: jnp.ndarray,  # (K,) i32 window tile row (window = [128ty, 128ty+256))
-    tx: jnp.ndarray,  # (K,) i32 window tile col
-    rel_x: jnp.ndarray,  # (K, NS) i32 in [0, 256), window-relative
-    rel_y: jnp.ndarray,  # (K, NS) i32 in [0, 256)
-    interpret: bool = False,
-    c0: int = 0,
-) -> jnp.ndarray:
-    """vals[k, c - c0, s] = planes[lvl[k], c, 128*ty[k] + rel_y[k, s],
-    128*tx[k] + rel_x[k, s]] — the fused patch-cut + sample-select.
-
-    Callers should pass keypoints TILE-SORTED (by (lvl, ty, tx)): Pallas
-    skips a quadrant's DMA when consecutive grid steps map the same block,
-    so sorted keypoints pay each plane tile roughly once instead of four
-    quadrant fetches per keypoint.  Bit-exact f32 (pure gathers).
-    """
-    l, c, hp, wp = planes.shape
-    assert hp % P == 0 and wp % P == 0, (hp, wp)
-    k = lvl.shape[0]
-    ns = rel_x.shape[1]
-    assert ns % P == 0, ns
-    interpret = interpret or jax.default_backend() == "cpu"
-
-    def quad(dy, dx):
-        return pl.BlockSpec(
-            (1, c, P, P),
-            lambda i, lvl_r, ty_r, tx_r, dy=dy, dx=dx: (
-                lvl_r[i], 0, ty_r[i] + dy, tx_r[i] + dx
-            ),
-            memory_space=pltpu.VMEM,
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(k,),
-        in_specs=[
-            # (K, 1, NS): the trailing two block dims equal the array dims,
-            # satisfying the TPU block-shape tiling rule at G=1.
-            pl.BlockSpec(
-                (1, 1, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            quad(0, 0), quad(0, 1), quad(1, 0), quad(1, 1),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, c - c0, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    return pl.pallas_call(
-        partial(_select_kernel_tiles, c=c, ns=ns, c0=c0),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, c - c0, ns), jnp.float32),
-        interpret=interpret,
-    )(
-        lvl, ty, tx,
-        rel_x[:, None, :], rel_y[:, None, :],
-        planes, planes, planes, planes,
-    )
-
-
-def _select_kernel_tiles8(
-    lvl_ref, ty_ref, tx_ref,
-    relx_ref, rely_ref,  # (1, G, NS)
-    *rest, c, ns, c0, g,
-):
-    """G keypoints per grid step, each with its own four scalar-prefetch-
-    indexed plane quadrants (4G quadrant refs), amortizing the per-step
-    overhead that made the G=1 variant lose to the patch-buffer path
-    (52 vs 38 ms composed).  Tile-sorted keypoints make most of the 4G
-    block fetches repeats of the previous step's, which Pallas skips."""
-    quads = rest[: 4 * g]
-    out_ref = rest[4 * g]
-    for j in range(g):
-        q00, q01, q10, q11 = quads[4 * j : 4 * j + 4]
-        for cc in range(ns // P):
-            rx = relx_ref[0, j, cc * P : (cc + 1) * P]
-            ry = rely_ref[0, j, cc * P : (cc + 1) * P]
-            right = rx >= P
-            rx_l = jnp.where(right, rx - P, rx)
-            rx_b = jnp.broadcast_to(rx_l[None, :], (P, P))
-            bottom = ry >= P
-            ry_l = jnp.where(bottom, ry - P, ry)
-            q = ry_l // 8
-            r_b = jnp.broadcast_to((ry_l % 8)[None, :], (8, P))
-            qmask = (
-                jax.lax.broadcasted_iota(jnp.int32, (P // 8, 8, P), 0)
-                == q[None, None, :]
-            )
-            for ch in range(c0, c):
-                def half(top_ref, bot_ref):
-                    ut = jnp.take_along_axis(top_ref[0, ch], rx_b, axis=1)
-                    ub = jnp.take_along_axis(bot_ref[0, ch], rx_b, axis=1)
-                    u = jnp.where(bottom[None, :], ub, ut)
-                    w = jnp.sum(
-                        jnp.where(qmask, u.reshape(P // 8, 8, P), 0.0), axis=0
-                    )
-                    return jnp.take_along_axis(w, r_b, axis=0)[0]
-
-                v = jnp.where(
-                    right, half(q01, q11), half(q00, q10)
-                )
-                out_ref[j, ch - c0, cc * P : (cc + 1) * P] = v
-
-
-@partial(jax.jit, static_argnames=("interpret", "c0", "g"))
-def select_samples_tiles8(
-    planes: jnp.ndarray,  # (L, C, Hp, Wp), Hp/Wp % 128 == 0
-    lvl: jnp.ndarray,  # (K,) i32
-    ty: jnp.ndarray,  # (K,) i32
-    tx: jnp.ndarray,  # (K,) i32
-    rel_x: jnp.ndarray,  # (K, NS) i32 in [0, 256)
-    rel_y: jnp.ndarray,  # (K, NS) i32 in [0, 256)
-    interpret: bool = False,
-    c0: int = 0,
-    g: int = G,
-) -> jnp.ndarray:
-    """G-keypoints-per-step variant of :func:`select_samples_tiles`."""
-    l, c, hp, wp = planes.shape
-    assert hp % P == 0 and wp % P == 0, (hp, wp)
-    k = lvl.shape[0]
-    assert k % g == 0, (k, g)
-    ns = rel_x.shape[1]
-    assert ns % P == 0, ns
-    interpret = interpret or jax.default_backend() == "cpu"
-
-    def quad(j, dy, dx):
-        return pl.BlockSpec(
-            (1, c, P, P),
-            lambda i, lvl_r, ty_r, tx_r, j=j, dy=dy, dx=dx: (
-                lvl_r[i * g + j], 0, ty_r[i * g + j] + dy, tx_r[i * g + j] + dx
-            ),
-            memory_space=pltpu.VMEM,
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(k // g,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, g, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, g, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ]
-        + [quad(j, dy, dx) for j in range(g) for dy in (0, 1) for dx in (0, 1)],
-        out_specs=pl.BlockSpec(
-            (g, c - c0, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    return pl.pallas_call(
-        partial(_select_kernel_tiles8, c=c, ns=ns, c0=c0, g=g),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, c - c0, ns), jnp.float32),
-        interpret=interpret,
-    )(
-        lvl, ty, tx,
-        rel_x.reshape(k // g, g, ns), rel_y.reshape(k // g, g, ns),
-        *([planes] * (4 * g)),
-    )
+# The measured-loser fused cut+select kernels (select_samples_epatch,
+# select_samples_tiles, select_samples_tiles8) were retired to
+# experiments/pallas_mldb_losers.py after their round-4 device verdicts
+# (docs/perf-notes.md "Describe-stage attack" / "session 4"); importing
+# that module re-registers their describe modes for experiments and tests.

@@ -47,6 +47,7 @@ def timeit(fn, *args, n=8):
 
 def phase_kernel():
     from cv_tpu.akaze import pallas_mldb as pm
+    from experiments import pallas_mldb_losers as losers
 
     rng = np.random.default_rng(0)
     l, c, hp, wp, k, ns = 96, 3, 512, 1408, 4096, 1280
@@ -77,7 +78,7 @@ def phase_kernel():
     print("timing cut+pgather (compiles first)...", flush=True)
     t_ref, ref = timeit(cut_plus_pgather, planes, lvl, y0, x0, rx, ry)
     print(f"cut+pgather {t_ref:.2f} ms; timing epatch (Mosaic compile)...", flush=True)
-    t_ep, out = timeit(pm.select_samples_epatch, planes, lvl, y0, x0, rx, ry)
+    t_ep, out = timeit(losers.select_samples_epatch, planes, lvl, y0, x0, rx, ry)
     equal = np.array_equal(np.asarray(ref), np.asarray(out))
     print(
         f"kernel: cut+pgather {t_ref:.2f} ms | epatch {t_ep:.2f} ms | "
@@ -93,7 +94,11 @@ def phase_extract():
     img0 = to_gray_f32(load_gray(fixture_path("0000000000.png")))
     img14 = to_gray_f32(load_gray(fixture_path("0000000014.png")))
     batch = jnp.stack([jnp.asarray(img0), jnp.asarray(img14)] * 4)  # B=8
-    modes = sys.argv[2:] or ["pgather", "pepatch", "pgather+inter"]
+    # Modes = any argv tokens that are not phase names (argv[1:] mixes
+    # phases and modes: `exp_r4_epatch.py kernel extract pgather`).
+    modes = [a for a in sys.argv[1:] if a not in ("kernel", "extract")] or [
+        "pgather", "pepatch", "pgather+inter"
+    ]
     for mode in modes:
         ex = DeviceExtractor(
             Akaze.sparse(), candidate_budget=512, max_features=4096,

@@ -18,6 +18,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import experiments.pallas_mldb_losers  # noqa: F401  (registers the retired modes)
+
 from cv_tpu.akaze import Akaze, load_gray, to_gray_f32
 from cv_tpu.akaze.fast import DeviceExtractor
 from cv_tpu.utils.fixtures import kitti_pair

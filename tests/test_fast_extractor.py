@@ -200,6 +200,9 @@ class TestEpatchCut:
     one-hot path (and hence to pgather, which equals it on-device)."""
 
     def test_words_bitwise_equal(self):
+        # The retired kernel lives in experiments/; importing registers it.
+        import experiments.pallas_mldb_losers  # noqa: F401
+
         rng = np.random.default_rng(3)
         img = rng.uniform(0, 255, (192, 256)).astype(np.uint8)
         batch = jnp.asarray(to_gray_f32(img))[None]
