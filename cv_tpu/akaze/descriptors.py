@@ -484,6 +484,185 @@ def _onehot_select_rows(oh_col, patch, mode):
     return acc
 
 
+def window_catalog_size(specs, b: int, hp: int, wp: int) -> int:
+    """Static count of distinct 256x256 tile-aligned sampling windows the
+    extract can ever occupy — the bound that makes the 'pgroups' padded
+    group tables static.  Per level: ty = clip(clip(yf - 64, 0, hp-128)
+    // 128, 0, ht-2) with yf < real height, so ty spans
+    min((h-65)//128, ht-2) + 1 values (same for tx)."""
+    ht, wt = hp // 128, wp // 128
+    total = 0
+    for s in specs:
+        nty = min(max(s.height - 65, 0) // 128, max(ht - 2, 0)) + 1
+        ntx = min(max(s.width - 65, 0) // 128, max(wt - 2, 0)) + 1
+        total += nty * ntx
+    return b * total
+
+
+def _group_tables(lvl, ty, tx, valid, ht, wt, g, ng_cap):
+    """Window-sorted padded group tables for ``select_samples_groups``.
+
+    Sorts slots by window key (invalid slots to a sentinel segment), then
+    starts a new group at every segment boundary OR every g-th slot within a
+    segment — so every group is single-window and
+    NG_actual <= ceil(K/g) + n_segments <= ng_cap (static, from
+    :func:`window_catalog_size`).  No scatters: per-group tables come from
+    masked reduces over a (ng_cap, K) one-hot, and the padded slot layout is
+    expressed as gathers (src_of) plus the inverse map (p_of).
+
+    Returns (perm, win_lvl, win_ty, win_tx, n_active, src_of, p_of):
+      perm: (K,) sort order; all other per-slot arrays must be indexed by it.
+      src_of: (ng_cap*g,) sorted-slot index feeding each padded slot.
+      p_of: (K,) padded slot index of each sorted slot.
+    """
+    k = lvl.shape[0]
+    i32 = jnp.int32
+    sentinel = i32(1) << i32(24)
+    key = jnp.where(valid, (lvl * ht + ty) * wt + tx, sentinel).astype(i32)
+    lvl0 = jnp.where(valid, lvl, 0).astype(i32)
+    ty0 = jnp.where(valid, ty, 0).astype(i32)
+    tx0 = jnp.where(valid, tx, 0).astype(i32)
+    perm = jnp.argsort(key, stable=True)
+    ks = key[perm]
+    iota = jnp.arange(k, dtype=i32)
+    newseg = jnp.concatenate(
+        [jnp.ones((1,), bool), ks[1:] != ks[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(newseg, iota, 0))
+    rank = iota - seg_start
+    new_group = newseg | (rank % g == 0)
+    group_id = jnp.cumsum(new_group.astype(i32)) - 1  # < ng_cap by bound
+    slot_in = rank % g
+
+    grp_iota = jnp.arange(ng_cap, dtype=i32)[:, None]
+    onehot = group_id[None, :] == grp_iota  # (ng_cap, K)
+    valid_s = valid[perm]
+    n_active = jnp.sum(onehot & valid_s[None, :], axis=1).astype(i32)
+
+    def tbl(v):
+        return jnp.max(jnp.where(onehot, v[perm][None, :], 0), axis=1)
+
+    win_lvl, win_ty, win_tx = tbl(lvl0), tbl(ty0), tbl(tx0)
+    j0 = jnp.min(jnp.where(onehot, iota[None, :], k), axis=1)  # (ng_cap,)
+    src_of = jnp.clip(
+        j0[:, None] + jnp.arange(g, dtype=i32)[None, :], 0, k - 1
+    ).reshape(-1)
+    p_of = group_id * g + slot_in
+    return perm, win_lvl, win_ty, win_tx, n_active, src_of, p_of
+
+
+def orient_mldb_groups(
+    planes, lvl, width, height, xf, yf, scale, valid, pattern_size, ng_cap
+):
+    """Fully-fused describe over the tile-coherent group kernel
+    (``pallas_mldb.select_samples_groups``): no per-keypoint patch buffer
+    and no XLA patch cut (the 18.6 ms row-gather wall at the bench shape).
+    Keypoints sharing a 256x256 tile-aligned window ride one grid step's
+    four shared quadrant DMAs; window-sorted groups make consecutive steps'
+    DMAs repeat (skipped).  Bit-identical to the 'pgather'/'highest' paths
+    (pure f32 gathers; tests gate it).
+
+    Reference hot loops being replaced:
+    ``/root/reference/akaze/src/descriptors.rs:102-177`` and
+    ``scale_space_extrema.rs:229-288``."""
+    from . import pallas_mldb
+
+    g = pallas_mldb.G
+    k_in = xf.shape[0]
+    pad_k = (-k_in) % g
+    if pad_k:
+        lvl = jnp.pad(lvl, (0, pad_k))
+        width = jnp.pad(width, (0, pad_k), constant_values=128)
+        height = jnp.pad(height, (0, pad_k), constant_values=128)
+        xf = jnp.pad(xf, (0, pad_k), constant_values=64.0)
+        yf = jnp.pad(yf, (0, pad_k), constant_values=64.0)
+        scale = jnp.pad(scale, (0, pad_k), constant_values=1.0)
+        valid = jnp.pad(valid, (0, pad_k))
+        words, ok, angle = orient_mldb_groups(
+            planes, lvl, width, height, xf, yf, scale, valid, pattern_size,
+            ng_cap,
+        )
+        return words[:k_in], ok[:k_in], angle[:k_in]
+
+    hmax, wmax = planes.shape[2], planes.shape[3]
+    ht, wt = hmax // 128, wmax // 128
+    assert ht >= 2 and wt >= 2, (ht, wt)  # stage_describe guards this
+    p = 128
+    # Patch anchor exactly as the chunked paths compute it, then the
+    # enclosing 256-window tile (clamped so ty+1/tx+1 stay in range).
+    y0 = jnp.clip(yf.astype(jnp.int32) - p // 2, 0, hmax - p)
+    x0 = jnp.clip(xf.astype(jnp.int32) - p // 2, 0, wmax - p)
+    ty = jnp.clip(y0 // p, 0, ht - 2)
+    tx = jnp.clip(x0 // p, 0, wt - 2)
+
+    perm, win_lvl, win_ty, win_tx, n_active, src_of, p_of = _group_tables(
+        lvl.astype(jnp.int32), ty, tx, valid, ht, wt, g, ng_cap
+    )
+    inv = jnp.argsort(perm)
+
+    def s(a):
+        return a[perm]
+
+    ty_s, tx_s = s(ty), s(tx)
+    xf_s, yf_s, sc_s = s(xf), s(yf), s(scale)
+    w_s, h_s = s(width), s(height)
+
+    def padded(rel):
+        return rel[src_of].reshape(ng_cap, g, rel.shape[1])
+
+    # Orientation samples (window-relative), padded group layout.
+    di, dj, wt_g = (jnp.asarray(a) for a in orientation_table())
+    ox = round_half_away(xf_s[:, None] + di[None, :] * sc_s[:, None]).astype(jnp.int32)
+    oy = round_half_away(yf_s[:, None] + dj[None, :] * sc_s[:, None]).astype(jnp.int32)
+    ox = jnp.clip(ox, 0, w_s[:, None] - 1)
+    oy = jnp.clip(oy, 0, h_s[:, None] - 1)
+    orel_x = jnp.clip(ox - tx_s[:, None] * p, 0, 2 * p - 1)
+    orel_y = jnp.clip(oy - ty_s[:, None] * p, 0, 2 * p - 1)
+    n_or = int(di.shape[0])
+    pad_or = (-n_or) % p
+    if pad_or:
+        orel_x = jnp.pad(orel_x, ((0, 0), (0, pad_or)))
+        orel_y = jnp.pad(orel_y, ((0, 0), (0, pad_or)))
+    vo = pallas_mldb.select_samples_groups(
+        planes, win_lvl, win_ty, win_tx, n_active,
+        padded(orel_x), padded(orel_y), c0=1,
+    )[p_of][:, :, :n_or]  # (K, 2, n_or) back in sorted order
+    res_x = wt_g[None, :] * vo[:, 0]
+    res_y = wt_g[None, :] * vo[:, 1]
+    angle_s = _orientation_from_samples(res_x, res_y)
+
+    # M-LDB samples (need the angle).
+    uk, ul, _, _ = mldb_unique_tables(pattern_size)
+    ks_t = jnp.asarray(uk.astype(np.float32))
+    ls_t = jnp.asarray(ul.astype(np.float32))
+    co = jnp.cos(angle_s)[:, None]
+    si = jnp.sin(angle_s)[:, None]
+    sc = sc_s[:, None]
+    sy = yf_s[:, None] + (ls_t[None, :] * co + ks_t[None, :] * si) * sc
+    sx = xf_s[:, None] + (-ls_t[None, :] * si + ks_t[None, :] * co) * sc
+    x1 = round_half_away(sx).astype(jnp.int32)
+    y1 = round_half_away(sy).astype(jnp.int32)
+    oob = (x1 < 0) | (x1 >= w_s[:, None]) | (y1 < 0) | (y1 >= h_s[:, None])
+    ok_s = ~jnp.any(oob, axis=-1)
+    x1 = jnp.clip(x1, 0, w_s[:, None] - 1)
+    y1 = jnp.clip(y1, 0, h_s[:, None] - 1)
+    rel_x = jnp.clip(x1 - tx_s[:, None] * p, 0, 2 * p - 1)
+    rel_y = jnp.clip(y1 - ty_s[:, None] * p, 0, 2 * p - 1)
+    ns = int(uk.shape[0])
+    pad_ns = (-ns) % p
+    if pad_ns:
+        rel_x = jnp.pad(rel_x, ((0, 0), (0, pad_ns)))
+        rel_y = jnp.pad(rel_y, ((0, 0), (0, pad_ns)))
+    vals = pallas_mldb.select_samples_groups(
+        planes, win_lvl, win_ty, win_tx, n_active,
+        padded(rel_x), padded(rel_y),
+    )[p_of][:, :, :ns]  # (K, 3, ns)
+    words_s = _mldb_pack(
+        vals[:, 0], vals[:, 1], vals[:, 2], co, si, pattern_size
+    )
+    return words_s[inv], ok_s[inv], angle_s[inv]
+
+
 def orient_mldb_onehot(
     planes: jnp.ndarray,  # (L, 3, Hmax, Wmax) channel-major padded stack,
     #                       or (L, Hmax, 3*Wmax) pixel-interleaved when

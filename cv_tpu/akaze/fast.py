@@ -698,22 +698,46 @@ def stage_describe(cfg, planes, sel, sampler: str, onehot_mode: str = "highest")
         else:
             planes_padded = padded_plane_stack(planes)
         lvl = (jnp.arange(b, dtype=jnp.int32)[:, None] * n_evo + sel["cls"]).reshape(-1)
-        words, w_ok, angle = desc.orient_mldb_onehot(
-            planes_padded,
-            lvl,
-            sel["w"].reshape(-1),
-            sel["h"].reshape(-1),
-            xf.reshape(-1),
-            yf.reshape(-1),
-            sel["ssamp"].reshape(-1),
-            pattern_size=cfg.descriptor_pattern_size,
-            # Bigger chunks amortize per-call overhead for the Pallas gather
-            # kernel (fewer pallas_call launches under lax.map); the XLA
-            # one-hot path keeps 128 to bound its HBM intermediates.
-            chunk=512 if onehot_mode in ("pgather", "pepatch") else 128,
-            mode=onehot_mode,
-            interleaved=interleaved,
-        )
+        if onehot_mode == "pgroups":
+            # Tile-coherent group describe: no patch cut, no patch buffer
+            # (descriptors.orient_mldb_groups).  The static group cap comes
+            # from the window catalog of this spec set.
+            hp, wp = planes_padded.shape[-2], planes_padded.shape[-1]
+            specs = [p.spec for p in planes]
+            k_total = b * m
+            ng_cap = -(-k_total // 8) + desc.window_catalog_size(
+                specs, b, hp, wp
+            ) + 1
+            words, w_ok, angle = desc.orient_mldb_groups(
+                planes_padded,
+                lvl,
+                sel["w"].reshape(-1),
+                sel["h"].reshape(-1),
+                xf.reshape(-1),
+                yf.reshape(-1),
+                sel["ssamp"].reshape(-1),
+                sel["valid"].reshape(-1),
+                pattern_size=cfg.descriptor_pattern_size,
+                ng_cap=ng_cap,
+            )
+        else:
+            words, w_ok, angle = desc.orient_mldb_onehot(
+                planes_padded,
+                lvl,
+                sel["w"].reshape(-1),
+                sel["h"].reshape(-1),
+                xf.reshape(-1),
+                yf.reshape(-1),
+                sel["ssamp"].reshape(-1),
+                pattern_size=cfg.descriptor_pattern_size,
+                # Bigger chunks amortize per-call overhead for the Pallas
+                # gather kernel (fewer pallas_call launches under lax.map);
+                # the XLA one-hot path keeps 128 to bound its HBM
+                # intermediates.
+                chunk=512 if onehot_mode in ("pgather", "pepatch") else 128,
+                mode=onehot_mode,
+                interleaved=interleaved,
+            )
         words = words.reshape(b, m, -1)
         w_ok = w_ok.reshape(b, m)
         angle = angle.reshape(b, m)

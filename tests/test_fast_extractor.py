@@ -193,6 +193,39 @@ class TestInterleavedCut:
         )
 
 
+class TestGroupDescribe:
+    """'pgroups' describe mode: tile-coherent shared-window group select
+    (round-5; no patch cut, no patch buffer).  Valid slots must be
+    BIT-identical to the one-hot path; invalid slots are deterministic
+    zero-sample rows."""
+
+    def test_words_bitwise_equal(self):
+        rng = np.random.default_rng(3)
+        img = rng.uniform(0, 255, (192, 256)).astype(np.uint8)
+        batch = jnp.asarray(to_gray_f32(img))[None]
+        base = DeviceExtractor(
+            Akaze(detector_threshold=0.001),
+            candidate_budget=128,
+            max_features=256,
+            onehot_mode="highest",
+        ).extract(batch)
+        grp = DeviceExtractor(
+            Akaze(detector_threshold=0.001),
+            candidate_budget=128,
+            max_features=256,
+            onehot_mode="pgroups",
+        ).extract(batch)
+        assert int(np.asarray(base.count)[0]) > 20
+        v = np.asarray(base.valid)
+        np.testing.assert_array_equal(v, np.asarray(grp.valid))
+        np.testing.assert_array_equal(
+            np.asarray(base.words)[v], np.asarray(grp.words)[v]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.angle)[v], np.asarray(grp.angle)[v]
+        )
+
+
 class TestEpatchCut:
     """'pepatch' describe mode: the patch cut happens inside the Pallas
     kernel as per-keypoint ELEMENT-offset block DMAs (pl.Element specs) —
