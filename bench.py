@@ -628,6 +628,7 @@ def _bench_sfm_end_to_end():
     )
     run(extractor)  # compile pass (untimed)
     engine, dt = run(extractor)  # steady-state pass
+    engine.flush_pending()  # finalize any async BA before reading state
     views = 0
     landmarks = 0
     for rec in engine.data.reconstructions.values():
@@ -683,6 +684,7 @@ def _bench_sfm_merge(n_seg=5, seed=5):
     for i in order:
         engine.add_frame(feed, images[i])
         max_recs = max(max_recs, len(engine.data.reconstructions))
+    engine.flush_pending()
     final = len(engine.data.reconstructions)
     views = max(
         (len(r.views) for r in engine.data.reconstructions.values()), default=0

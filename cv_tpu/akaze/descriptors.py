@@ -499,7 +499,7 @@ def window_catalog_size(specs, b: int, hp: int, wp: int) -> int:
     return b * total
 
 
-def _group_tables(lvl, ty, tx, valid, ht, wt, g, ng_cap):
+def _group_tables(lvl, ty, tx, valid, ht, wt, g, ng_cap, w=1):
     """Window-sorted padded group tables for ``select_samples_groups``.
 
     Sorts slots by window key (invalid slots to a sentinel segment), then
@@ -507,12 +507,18 @@ def _group_tables(lvl, ty, tx, valid, ht, wt, g, ng_cap):
     segment — so every group is single-window and
     NG_actual <= ceil(K/g) + n_segments <= ng_cap (static, from
     :func:`window_catalog_size`).  No scatters: per-group tables come from
-    masked reduces over a (ng_cap, K) one-hot, and the padded slot layout is
+    masked reduces over a (NG, K) one-hot, and the padded slot layout is
     expressed as gathers (src_of) plus the inverse map (p_of).
+
+    Tables come back in the kernel's COLUMN-major strided layout for ``w``
+    window-groups per grid step: canonical sorted group t sits at table
+    position (t % ngw)*w + t//ngw (ngw = NG//w), so each of the step's w
+    quadrant-ref columns walks CONSECUTIVE sorted groups across steps and
+    same-window runs keep their DMA-skip property.
 
     Returns (perm, win_lvl, win_ty, win_tx, n_active, src_of, p_of):
       perm: (K,) sort order; all other per-slot arrays must be indexed by it.
-      src_of: (ng_cap*g,) sorted-slot index feeding each padded slot.
+      src_of: (NG*g,) sorted-slot index feeding each padded slot.
       p_of: (K,) padded slot index of each sorted slot.
     """
     k = lvl.shape[0]
@@ -534,25 +540,53 @@ def _group_tables(lvl, ty, tx, valid, ht, wt, g, ng_cap):
     group_id = jnp.cumsum(new_group.astype(i32)) - 1  # < ng_cap by bound
     slot_in = rank % g
 
-    grp_iota = jnp.arange(ng_cap, dtype=i32)[:, None]
-    onehot = group_id[None, :] == grp_iota  # (ng_cap, K)
+    ngw = -(-ng_cap // w)
+    ng = ngw * w
     valid_s = valid[perm]
-    n_active = jnp.sum(onehot & valid_s[None, :], axis=1).astype(i32)
+    # Per-group tables by SCATTER at the group-boundary slots (each group
+    # has exactly one boundary; non-boundary slots write a dummy tail slot).
+    # Scatter of K elements costs ~us; the previous (NG, K) one-hot masked
+    # reduces measured 5.8 ms standalone at the bench shape.
+    dump = jnp.where(new_group, group_id, ng)
 
     def tbl(v):
-        return jnp.max(jnp.where(onehot, v[perm][None, :], 0), axis=1)
+        buf = jnp.zeros((ng + 1,), i32)
+        return buf.at[dump].set(jnp.where(new_group, v, 0))[:ng]
 
-    win_lvl, win_ty, win_tx = tbl(lvl0), tbl(ty0), tbl(tx0)
-    j0 = jnp.min(jnp.where(onehot, iota[None, :], k), axis=1)  # (ng_cap,)
+    win_lvl_c = tbl(lvl0[perm])
+    win_ty_c = tbl(ty0[perm])
+    win_tx_c = tbl(tx0[perm])
+    j0_c = (
+        jnp.full((ng + 1,), k, i32)
+        .at[dump]
+        .set(jnp.where(new_group, iota, k))
+    )
+    # Groups tile the sorted axis in order, so each group's size is the gap
+    # to the next group's first slot (empty tail groups: k - k = 0).
+    size_c = jnp.clip(j0_c[1:] - j0_c[:ng], 0, g)
+    bvalid = valid_s[jnp.clip(j0_c[:ng], 0, k - 1)] & (j0_c[:ng] < k)
+    n_active_c = jnp.where(bvalid, size_c, 0)
+    j0_c = j0_c[:ng]
+
+    # Strided (column-major) re-index: position q holds canonical group
+    # (q % w)*ngw + q//w.
+    q = jnp.arange(ng, dtype=i32)
+    stride_idx = (q % w) * ngw + q // w
+    win_lvl = win_lvl_c[stride_idx]
+    win_ty = win_ty_c[stride_idx]
+    win_tx = win_tx_c[stride_idx]
+    n_active = n_active_c[stride_idx]
+    j0 = j0_c[stride_idx]
     src_of = jnp.clip(
         j0[:, None] + jnp.arange(g, dtype=i32)[None, :], 0, k - 1
     ).reshape(-1)
-    p_of = group_id * g + slot_in
+    p_of = ((group_id % ngw) * w + group_id // ngw) * g + slot_in
     return perm, win_lvl, win_ty, win_tx, n_active, src_of, p_of
 
 
 def orient_mldb_groups(
-    planes, lvl, width, height, xf, yf, scale, valid, pattern_size, ng_cap
+    planes, lvl, width, height, xf, yf, scale, valid, pattern_size, ng_cap,
+    w=1,
 ):
     """Fully-fused describe over the tile-coherent group kernel
     (``pallas_mldb.select_samples_groups``): no per-keypoint patch buffer
@@ -580,7 +614,7 @@ def orient_mldb_groups(
         valid = jnp.pad(valid, (0, pad_k))
         words, ok, angle = orient_mldb_groups(
             planes, lvl, width, height, xf, yf, scale, valid, pattern_size,
-            ng_cap,
+            ng_cap, w,
         )
         return words[:k_in], ok[:k_in], angle[:k_in]
 
@@ -596,28 +630,35 @@ def orient_mldb_groups(
     tx = jnp.clip(x0 // p, 0, wt - 2)
 
     perm, win_lvl, win_ty, win_tx, n_active, src_of, p_of = _group_tables(
-        lvl.astype(jnp.int32), ty, tx, valid, ht, wt, g, ng_cap
+        lvl.astype(jnp.int32), ty, tx, valid, ht, wt, g, ng_cap, w
     )
     inv = jnp.argsort(perm)
+    ngw = -(-ng_cap // w)
+    npad = ngw * w * g
 
-    def s(a):
-        return a[perm]
+    # Per-PADDED-slot scalar params (cheap scalar gathers); the rel tables
+    # are then computed DIRECTLY in the kernel's padded layout — gathering
+    # precomputed (K, NS) rel rows into it measured 5 ms per table
+    # standalone (element-granular lowering, exp_r5_groups_micro).
+    osrc = perm[src_of]  # (NPAD,) ORIGINAL slot feeding each padded slot
 
-    ty_s, tx_s = s(ty), s(tx)
-    xf_s, yf_s, sc_s = s(xf), s(yf), s(scale)
-    w_s, h_s = s(width), s(height)
+    def ps(a):
+        return a[osrc]
 
-    def padded(rel):
-        return rel[src_of].reshape(ng_cap, g, rel.shape[1])
+    xf_p, yf_p, sc_p = ps(xf), ps(yf), ps(scale)
+    w_p, h_p = ps(width), ps(height)
+    # The slot's GROUP window origin (must match its quadrant blocks).
+    txp = jnp.repeat(win_tx, g) * p
+    typ = jnp.repeat(win_ty, g) * p
 
-    # Orientation samples (window-relative), padded group layout.
+    # Orientation samples (window-relative), built padded.
     di, dj, wt_g = (jnp.asarray(a) for a in orientation_table())
-    ox = round_half_away(xf_s[:, None] + di[None, :] * sc_s[:, None]).astype(jnp.int32)
-    oy = round_half_away(yf_s[:, None] + dj[None, :] * sc_s[:, None]).astype(jnp.int32)
-    ox = jnp.clip(ox, 0, w_s[:, None] - 1)
-    oy = jnp.clip(oy, 0, h_s[:, None] - 1)
-    orel_x = jnp.clip(ox - tx_s[:, None] * p, 0, 2 * p - 1)
-    orel_y = jnp.clip(oy - ty_s[:, None] * p, 0, 2 * p - 1)
+    ox = round_half_away(xf_p[:, None] + di[None, :] * sc_p[:, None]).astype(jnp.int32)
+    oy = round_half_away(yf_p[:, None] + dj[None, :] * sc_p[:, None]).astype(jnp.int32)
+    ox = jnp.clip(ox, 0, w_p[:, None] - 1)
+    oy = jnp.clip(oy, 0, h_p[:, None] - 1)
+    orel_x = jnp.clip(ox - txp[:, None], 0, 2 * p - 1)
+    orel_y = jnp.clip(oy - typ[:, None], 0, 2 * p - 1)
     n_or = int(di.shape[0])
     pad_or = (-n_or) % p
     if pad_or:
@@ -625,29 +666,30 @@ def orient_mldb_groups(
         orel_y = jnp.pad(orel_y, ((0, 0), (0, pad_or)))
     vo = pallas_mldb.select_samples_groups(
         planes, win_lvl, win_ty, win_tx, n_active,
-        padded(orel_x), padded(orel_y), c0=1,
-    )[p_of][:, :, :n_or]  # (K, 2, n_or) back in sorted order
+        orel_x.reshape(ngw, w * g, -1), orel_y.reshape(ngw, w * g, -1),
+        c0=1, w=w,
+    )[..., :n_or]  # (NPAD, 2, n_or), padded layout
     res_x = wt_g[None, :] * vo[:, 0]
     res_y = wt_g[None, :] * vo[:, 1]
-    angle_s = _orientation_from_samples(res_x, res_y)
+    angle_p = _orientation_from_samples(res_x, res_y)
 
-    # M-LDB samples (need the angle).
+    # M-LDB samples (need the angle), still padded.
     uk, ul, _, _ = mldb_unique_tables(pattern_size)
     ks_t = jnp.asarray(uk.astype(np.float32))
     ls_t = jnp.asarray(ul.astype(np.float32))
-    co = jnp.cos(angle_s)[:, None]
-    si = jnp.sin(angle_s)[:, None]
-    sc = sc_s[:, None]
-    sy = yf_s[:, None] + (ls_t[None, :] * co + ks_t[None, :] * si) * sc
-    sx = xf_s[:, None] + (-ls_t[None, :] * si + ks_t[None, :] * co) * sc
+    co = jnp.cos(angle_p)[:, None]
+    si = jnp.sin(angle_p)[:, None]
+    sc = sc_p[:, None]
+    sy = yf_p[:, None] + (ls_t[None, :] * co + ks_t[None, :] * si) * sc
+    sx = xf_p[:, None] + (-ls_t[None, :] * si + ks_t[None, :] * co) * sc
     x1 = round_half_away(sx).astype(jnp.int32)
     y1 = round_half_away(sy).astype(jnp.int32)
-    oob = (x1 < 0) | (x1 >= w_s[:, None]) | (y1 < 0) | (y1 >= h_s[:, None])
-    ok_s = ~jnp.any(oob, axis=-1)
-    x1 = jnp.clip(x1, 0, w_s[:, None] - 1)
-    y1 = jnp.clip(y1, 0, h_s[:, None] - 1)
-    rel_x = jnp.clip(x1 - tx_s[:, None] * p, 0, 2 * p - 1)
-    rel_y = jnp.clip(y1 - ty_s[:, None] * p, 0, 2 * p - 1)
+    oob = (x1 < 0) | (x1 >= w_p[:, None]) | (y1 < 0) | (y1 >= h_p[:, None])
+    ok_p = ~jnp.any(oob, axis=-1)
+    x1 = jnp.clip(x1, 0, w_p[:, None] - 1)
+    y1 = jnp.clip(y1, 0, h_p[:, None] - 1)
+    rel_x = jnp.clip(x1 - txp[:, None], 0, 2 * p - 1)
+    rel_y = jnp.clip(y1 - typ[:, None], 0, 2 * p - 1)
     ns = int(uk.shape[0])
     pad_ns = (-ns) % p
     if pad_ns:
@@ -655,12 +697,16 @@ def orient_mldb_groups(
         rel_y = jnp.pad(rel_y, ((0, 0), (0, pad_ns)))
     vals = pallas_mldb.select_samples_groups(
         planes, win_lvl, win_ty, win_tx, n_active,
-        padded(rel_x), padded(rel_y),
-    )[p_of][:, :, :ns]  # (K, 3, ns)
-    words_s = _mldb_pack(
+        rel_x.reshape(ngw, w * g, -1), rel_y.reshape(ngw, w * g, -1), w=w,
+    )[..., :ns]  # (NPAD, 3, ns)
+    # Pack on the padded layout (row-wise, so per-slot bits are identical),
+    # then un-permute only the 16-word rows + scalars — the (K,) gather of
+    # (3, 1408) sample blocks measured 19 ms standalone.
+    words_p = _mldb_pack(
         vals[:, 0], vals[:, 1], vals[:, 2], co, si, pattern_size
     )
-    return words_s[inv], ok_s[inv], angle_s[inv]
+    back = p_of[inv]  # padded slot of each ORIGINAL slot
+    return words_p[back], ok_p[back], angle_p[back]
 
 
 def orient_mldb_onehot(

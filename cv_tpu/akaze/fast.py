@@ -698,7 +698,10 @@ def stage_describe(cfg, planes, sel, sampler: str, onehot_mode: str = "highest")
         else:
             planes_padded = padded_plane_stack(planes)
         lvl = (jnp.arange(b, dtype=jnp.int32)[:, None] * n_evo + sel["cls"]).reshape(-1)
-        if onehot_mode == "pgroups":
+        if onehot_mode.startswith("pgroups"):
+            # Optional numeric suffix = window-groups per grid step
+            # (e.g. 'pgroups4'); bare 'pgroups' = 1.
+            pg_w = int(onehot_mode[len("pgroups"):] or "1")
             # Tile-coherent group describe: no patch cut, no patch buffer
             # (descriptors.orient_mldb_groups).  The static group cap comes
             # from the window catalog of this spec set.
@@ -719,6 +722,7 @@ def stage_describe(cfg, planes, sel, sampler: str, onehot_mode: str = "highest")
                 sel["valid"].reshape(-1),
                 pattern_size=cfg.descriptor_pattern_size,
                 ng_cap=ng_cap,
+                w=pg_w,
             )
         else:
             words, w_ok, angle = desc.orient_mldb_onehot(

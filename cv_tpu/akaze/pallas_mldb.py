@@ -249,123 +249,133 @@ def select_samples(
 
 
 def _select_kernel_groups(
-    lvl_ref, ty_ref, tx_ref, nact_ref,  # scalar-prefetch (NG,) i32
-    relx_ref, rely_ref,                  # (1, G, NS) window-relative [0, 2P)
-    q00_ref, q01_ref, q10_ref, q11_ref,  # (1, C, P, P) shared plane quadrants
-    out_ref,                             # (G, C - c0, NS)
-    *, c, ns, c0, g,
+    lvl_ref, ty_ref, tx_ref, nact_ref,  # scalar-prefetch (NGW*W,) i32
+    relx_ref, rely_ref,                  # (1, W*G, NS) window-relative [0, 2P)
+    *rest,                               # 4*W quadrant refs (1, C, P, P) + out
+    c, ns, c0, g, w,
 ):
-    """Tile-COHERENT group select: all G keypoints of a grid step share ONE
-    256x256 window (four quadrant blocks), so the step issues 4 quadrant
-    DMAs instead of the 4G per-keypoint refs that sank tiles8 (block reuse
-    across strided refs never triggered — round-4 verdict).  Groups are
-    window-sorted, so consecutive steps inside one window segment map the
-    SAME blocks and Pallas skips their DMAs entirely.  Padding slots
-    (j >= n_active) skip their select chain via pl.when."""
-    n_act = nact_ref[pl.program_id(0)]
-    for j in range(g):
-        # Skipped slots (group padding / invalid keypoints) still get a
-        # deterministic zero row — out blocks are uninitialized VMEM.
-        @pl.when(j >= n_act)
-        def _zero(j=j):
-            out_ref[j] = jnp.zeros((c - c0, ns), jnp.float32)
+    """Tile-COHERENT group select: each of the step's W window-groups shares
+    ONE 256x256 window (four quadrant blocks) across its G keypoints, so a
+    step issues 4*W quadrant DMAs for W*G keypoints — vs the 4-per-keypoint
+    refs that sank tiles8 (block reuse across strided refs never triggered,
+    round-4 verdict).  Groups are window-sorted and laid out COLUMN-major
+    across steps (group t -> step t %% ngw, ref t // ngw), so each quadrant
+    ref walks consecutive sorted groups and same-window runs repeat their
+    block indices — skipped by Pallas.  Padding slots (j >= n_active) write
+    deterministic zero rows via pl.when."""
+    quads = rest[: 4 * w]
+    out_ref = rest[4 * w]
+    i = pl.program_id(0)
+    for wl in range(w):
+        q00, q01, q10, q11 = quads[4 * wl : 4 * wl + 4]
+        n_act = nact_ref[i * w + wl]
+        for j in range(g):
+            # Skipped slots (group padding / invalid keypoints) still get a
+            # deterministic zero row — out blocks are uninitialized VMEM.
+            @pl.when(j >= n_act)
+            def _zero(wl=wl, j=j):
+                out_ref[wl * g + j] = jnp.zeros((c - c0, ns), jnp.float32)
 
-        @pl.when(j < n_act)
-        def _slot(j=j):
-            for cc in range(ns // P):
-                rx = relx_ref[0, j, cc * P : (cc + 1) * P]  # (P,) lanes
-                ry = rely_ref[0, j, cc * P : (cc + 1) * P]
-                right = rx >= P
-                rx_l = jnp.where(right, rx - P, rx)
-                rx_b = jnp.broadcast_to(rx_l[None, :], (P, P))
-                bottom = ry >= P
-                ry_l = jnp.where(bottom, ry - P, ry)
-                q = ry_l // 8
-                r_b = jnp.broadcast_to((ry_l % 8)[None, :], (8, P))
-                qmask = (
-                    jax.lax.broadcasted_iota(jnp.int32, (P // 8, 8, P), 0)
-                    == q[None, None, :]
-                )
-                for ch in range(c0, c):
-                    def half(top_ref, bot_ref):
-                        ut = jnp.take_along_axis(top_ref[0, ch], rx_b, axis=1)
-                        ub = jnp.take_along_axis(bot_ref[0, ch], rx_b, axis=1)
-                        u = jnp.where(bottom[None, :], ub, ut)
-                        w = jnp.sum(
-                            jnp.where(qmask, u.reshape(P // 8, 8, P), 0.0),
-                            axis=0,
-                        )
-                        return jnp.take_along_axis(w, r_b, axis=0)[0]
-
-                    v = jnp.where(
-                        right, half(q01_ref, q11_ref), half(q00_ref, q10_ref)
+            @pl.when(j < n_act)
+            def _slot(wl=wl, j=j, q00=q00, q01=q01, q10=q10, q11=q11):
+                for cc in range(ns // P):
+                    rx = relx_ref[0, wl * g + j, cc * P : (cc + 1) * P]
+                    ry = rely_ref[0, wl * g + j, cc * P : (cc + 1) * P]
+                    right = rx >= P
+                    rx_l = jnp.where(right, rx - P, rx)
+                    rx_b = jnp.broadcast_to(rx_l[None, :], (P, P))
+                    bottom = ry >= P
+                    ry_l = jnp.where(bottom, ry - P, ry)
+                    q = ry_l // 8
+                    r_b = jnp.broadcast_to((ry_l % 8)[None, :], (8, P))
+                    qmask = (
+                        jax.lax.broadcasted_iota(jnp.int32, (P // 8, 8, P), 0)
+                        == q[None, None, :]
                     )
-                    out_ref[j, ch - c0, cc * P : (cc + 1) * P] = v
+                    for ch in range(c0, c):
+                        def half(top_ref, bot_ref):
+                            ut = jnp.take_along_axis(top_ref[0, ch], rx_b, axis=1)
+                            ub = jnp.take_along_axis(bot_ref[0, ch], rx_b, axis=1)
+                            u = jnp.where(bottom[None, :], ub, ut)
+                            wsum = jnp.sum(
+                                jnp.where(qmask, u.reshape(P // 8, 8, P), 0.0),
+                                axis=0,
+                            )
+                            return jnp.take_along_axis(wsum, r_b, axis=0)[0]
+
+                        v = jnp.where(
+                            right, half(q01, q11), half(q00, q10)
+                        )
+                        out_ref[wl * g + j, ch - c0, cc * P : (cc + 1) * P] = v
 
 
-@partial(jax.jit, static_argnames=("interpret", "c0", "g"))
+@partial(jax.jit, static_argnames=("interpret", "c0", "g", "w"))
 def select_samples_groups(
     planes: jnp.ndarray,  # (L, C, Hp, Wp) padded plane stack, Hp/Wp % 128 == 0
-    win_lvl: jnp.ndarray,  # (NG,) i32 per-GROUP window plane index
+    win_lvl: jnp.ndarray,  # (NG,) i32 per-GROUP window plane index (strided layout)
     win_ty: jnp.ndarray,  # (NG,) i32 window tile row (window = [128ty, 128ty+256))
     win_tx: jnp.ndarray,  # (NG,) i32 window tile col
     n_active: jnp.ndarray,  # (NG,) i32 live slots in each group (0..G)
-    rel_x: jnp.ndarray,  # (NG, G, NS) i32 in [0, 256), window-relative
-    rel_y: jnp.ndarray,  # (NG, G, NS)
+    rel_x: jnp.ndarray,  # (NG//w, w*g, NS) i32 in [0, 256), window-relative
+    rel_y: jnp.ndarray,  # (NG//w, w*g, NS)
     interpret: bool = False,
     c0: int = 0,
     g: int = G,
+    w: int = 1,
 ) -> jnp.ndarray:
-    """vals[G*t + j, c - c0, s] = planes[win_lvl[t], c,
-    128*win_ty[t] + rel_y[t, j, s], 128*win_tx[t] + rel_x[t, j, s]] for
-    j < n_active[t] (padding slots are skipped; their rows are garbage).
+    """vals[(i*w + wl)*g + j, c - c0, s] = planes[win_lvl[i*w + wl], c,
+    128*win_ty[..] + rel_y[i, wl*g + j, s], 128*win_tx[..] + rel_x[..]] for
+    j < n_active[i*w + wl] (padding slots come back as zero rows).
 
     The round-5 tile-coherent describe kernel: callers build window-sorted
-    padded group tables (descriptors._group_tables) so each grid step's four
-    quadrant DMAs are shared by all G slots and repeat across steps within a
-    window segment (skipped by Pallas).  Empty trailing groups must point at
-    window (0, 0, 0) with n_active 0 — they cost one shared (skipped) DMA
-    and no compute.  Bit-exact f32 (pure gathers)."""
+    padded group tables (descriptors._group_tables) in the COLUMN-major
+    strided layout (canonical group t at table position
+    (t %% ngw)*w + t // ngw), so each quadrant ref walks consecutive sorted
+    groups across steps and same-window runs skip their DMAs; ``w`` window-
+    groups per step amortize the per-grid-step overhead.  Empty groups must
+    point at window (0, 0, 0) with n_active 0.  Bit-exact f32."""
     l, c, hp, wp = planes.shape
     assert hp % P == 0 and wp % P == 0, (hp, wp)
     ng = win_lvl.shape[0]
-    assert rel_x.shape[:2] == (ng, g), (rel_x.shape, ng, g)
+    assert ng % w == 0, (ng, w)
+    ngw = ng // w
+    assert rel_x.shape[:2] == (ngw, w * g), (rel_x.shape, ngw, w, g)
     ns = rel_x.shape[2]
     assert ns % P == 0, ns
     interpret = interpret or jax.default_backend() == "cpu"
 
-    def quad(dy, dx):
+    def quad(wl, dy, dx):
         return pl.BlockSpec(
             (1, c, P, P),
-            lambda i, lvl_r, ty_r, tx_r, na_r, dy=dy, dx=dx: (
-                lvl_r[i], 0, ty_r[i] + dy, tx_r[i] + dx
+            lambda i, lvl_r, ty_r, tx_r, na_r, wl=wl, dy=dy, dx=dx: (
+                lvl_r[i * w + wl], 0, ty_r[i * w + wl] + dy, tx_r[i * w + wl] + dx
             ),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(ng,),
+        grid=(ngw,),
         in_specs=[
             pl.BlockSpec(
-                (1, g, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, w * g, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, g, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, w * g, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            quad(0, 0), quad(0, 1), quad(1, 0), quad(1, 1),
-        ],
+        ]
+        + [quad(wl, dy, dx) for wl in range(w) for dy in (0, 1) for dx in (0, 1)],
         out_specs=pl.BlockSpec(
-            (g, c - c0, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (w * g, c - c0, ns), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
-        partial(_select_kernel_groups, c=c, ns=ns, c0=c0, g=g),
+        partial(_select_kernel_groups, c=c, ns=ns, c0=c0, g=g, w=w),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ng * g, c - c0, ns), jnp.float32),
         interpret=interpret,
     )(
         win_lvl, win_ty, win_tx, n_active,
         rel_x, rel_y,
-        planes, planes, planes, planes,
+        *([planes] * (4 * w)),
     )

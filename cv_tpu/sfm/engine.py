@@ -311,6 +311,10 @@ class VSlam:
         # across engine instances and across bench passes.
         self.essential_estimator = essential_estimator or DEFAULT_ESSENTIAL_ESTIMATOR
         self.pose_estimator = pose_estimator or DEFAULT_POSE_ESTIMATOR
+        # In-flight async BA+filter record (settings.async_optimize); every
+        # engine entry point finalizes it via _flush_pending before touching
+        # reconstruction state.
+        self._pending_opt = None
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -353,6 +357,9 @@ class VSlam:
                 self.settings.tracking_similar_frame_search_num,
             )
         )
+        # Finalize any in-flight BA+filter AFTER the extract fetch above —
+        # the deferred device work overlapped this frame's frontend.
+        self._flush_pending()
         self.try_localize(frame, reconstruction_frames, free_frames)
         return frame
 
@@ -1414,6 +1421,7 @@ class VSlam:
 
     # -- incorporation (lib.rs:2067-2113) -----------------------------------------
     def incorporate_frame(self, reconstruction, frame, view_matches):
+        self._flush_pending()
         result = self.register_frame(reconstruction, frame, view_matches)
         if result is None:
             log.info("failed to register frame")
@@ -1604,6 +1612,7 @@ class VSlam:
     def try_merge_reconstructions(
         self, src_reconstruction, src_view, dest_reconstruction, dest_view_matches
     ):
+        self._flush_pending()
         frame = self.data.view(src_reconstruction, src_view).frame
         src_pose = self.data.view(src_reconstruction, src_view).pose
         result = self.register_frame(dest_reconstruction, frame, dest_view_matches)
@@ -1669,7 +1678,25 @@ class VSlam:
 
     # -- bundle adjustment (lib.rs:2343-2435) ----------------------------------------
     def optimize_reconstruction(self, reconstruction):
+        self._flush_pending()
         use_batch = self.triangulator is host_geom.triangulate_observations
+        if (
+            use_batch
+            and self.settings.async_optimize
+            and self.settings.reconstruction_optimization_iterations == 1
+        ):
+            # Async steady-state path (r4-tpu-queue item 6): dispatch the
+            # fused BA+filter program NOW, fetch at the next engine entry —
+            # the ~100 ms of device time overlaps the next frame's host-side
+            # extract fetch + matching instead of blocking here.  Correct by
+            # the flush discipline: every reader/mutator of reconstruction
+            # state flushes first, so the snapshot the program was built
+            # from is still the live state when its verdicts apply.
+            pending = self._dispatch_ba_filter(reconstruction)
+            if pending is None:
+                return None
+            self._pending_opt = pending
+            return reconstruction
         for _ in range(self.settings.reconstruction_optimization_iterations):
             if use_batch:
                 # BA + observation filter as ONE device chain (one fetch);
@@ -1687,6 +1714,32 @@ class VSlam:
             if self.filter_non_robust_observations(reconstruction) is None:
                 return None
         return reconstruction
+
+    def flush_pending(self):
+        """Finalize any in-flight async BA+filter pass (settings.async_optimize).
+
+        Engine entry points call this automatically; call it yourself before
+        reading reconstruction state directly off ``engine.data`` between
+        engine calls (e.g. at the end of a sequence)."""
+        self._flush_pending()
+
+    def _flush_pending(self):
+        if self._pending_opt is None:
+            return
+        pending = self._pending_opt
+        self._pending_opt = None
+        reconstruction = pending["reconstruction"]
+        if reconstruction not in self.data.reconstructions:
+            # Defensive: the flush discipline should make this impossible
+            # (nothing mutates between dispatch and flush).
+            log.info("pending optimize for a removed reconstruction; dropped")
+            return
+        r = self._finish_ba_filter(pending)
+        if r is False:
+            # BA removed views on apply; the filter verdicts are stale
+            # against the new observation structure — run the exact host
+            # filter (state is still the dispatch-time snapshot otherwise).
+            self.filter_non_robust_observations(reconstruction)
 
     def _build_ba_arrays(self, rec, view_keys):
         """Bucket-padded pose + edge tensors for the BA programs.  Padded
@@ -1769,6 +1822,17 @@ class VSlam:
         host; the caller must run the exact host filter, because view
         removal changes the observation structure the filter verdicts were
         computed against)."""
+        pending = self._dispatch_ba_filter(reconstruction)
+        if pending is None:
+            return None
+        return self._finish_ba_filter(pending)
+
+    def _dispatch_ba_filter(self, reconstruction):
+        """Build the snapshot arrays and dispatch the fused BA+filter
+        program; returns the pending record to pass to
+        :meth:`_finish_ba_filter` (or ``None`` if the reconstruction was
+        empty and removed).  The device work proceeds asynchronously until
+        the finish step fetches."""
         s = self.settings
         data = self.data
         rec = data.reconstructions[reconstruction]
@@ -1814,7 +1878,32 @@ class VSlam:
             iterations=s.optimization_iterations,
             rate=s.graph_optimization_rate,
         )
-        out_rot, out_trans, removed, kill, bad_obs, robust = _fetch(*out)
+        return {
+            "reconstruction": reconstruction,
+            "rec": rec,
+            "view_keys": view_keys,
+            "landmarks": landmarks,
+            "views_h": views_h,
+            "feats_h": feats_h,
+            "n": n,
+            "out": out,
+        }
+
+    def _finish_ba_filter(self, pending):
+        """Fetch + apply a :meth:`_dispatch_ba_filter` record.  Same return
+        contract as :meth:`_apply_constraints_and_filter_device`."""
+        s = self.settings
+        data = self.data
+        reconstruction = pending["reconstruction"]
+        rec = pending["rec"]
+        view_keys = pending["view_keys"]
+        landmarks = pending["landmarks"]
+        views_h = pending["views_h"]
+        feats_h = pending["feats_h"]
+        n = pending["n"]
+        out_rot, out_trans, removed, kill, bad_obs, robust = _fetch(
+            *pending["out"]
+        )
         if self._apply_ba_result(
             reconstruction, rec, view_keys, removed, out_rot, out_trans
         ) is None:
@@ -2022,6 +2111,7 @@ class VSlam:
     def sanity_check(self, reconstruction) -> list:
         """Invariant audit of view<->landmark backreferences. Returns a list
         of human-readable violations (the reference logs them as errors)."""
+        self._flush_pending()
         problems = []
         rec = self.data.reconstructions[reconstruction]
         for view_key, view in rec.views.items():
@@ -2057,6 +2147,7 @@ class VSlam:
 
     # -- normalization + export (lib.rs:2241-2340) ----------------------------------------
     def normalize_reconstruction(self, reconstruction):
+        self._flush_pending()
         rec = self.data.reconstructions[reconstruction]
         if not rec.views:
             return
@@ -2086,6 +2177,8 @@ class VSlam:
 
     def export_reconstruction(self, reconstruction, path, camera_faces: bool = True):
         from .export import export_ply
+
+        self._flush_pending()
 
         rec = self.data.reconstructions[reconstruction]
         points, colors = [], []

@@ -46,6 +46,14 @@ class VSlamSettings:
     three_view_minimum_robust_matches: int = 32
     # Reconstruction optimization
     reconstruction_optimization_iterations: int = 1
+    # Engine-only knob (no reference counterpart): defer the fused BA +
+    # observation-filter fetch to the next engine call, overlapping ~100 ms
+    # of device time with the next frame's host work (r4-tpu-queue item 6).
+    # Results are identical to the synchronous path (tests gate it); the
+    # only visible difference is that reconstruction state read DIRECTLY
+    # off ``VSlamData`` between engine calls may be one BA pass stale —
+    # every engine entry point (and ``VSlam.flush_pending``) finalizes it.
+    async_optimize: bool = True
     # Tracking
     tracking_features: int = 1 << 13
     tracking_similar_frames: int = 0

@@ -87,8 +87,40 @@ def nullspace_basis(a: jnp.ndarray, b: jnp.ndarray):
 
     ``a``/``b``: (..., 5, 3). Returns ``(basis (..., 9, 4), ok)``; ``ok``
     requires nullity exactly 4.
+
+    In f32 this is THE precision-critical stage (measured,
+    experiments/exp_r5_5pt_stages.py): the Gram squares the condition
+    number, and an f32 eigenbasis loses the entire small-baseline envelope
+    while every OTHER stage tolerates f32.  So for f32 inputs the Gram and
+    its Jacobi eigendecomposition run in double-word arithmetic
+    (:mod:`cv_tpu.ops.dw`, ~47-bit mantissa on f32 hardware) and only the
+    resulting basis is rounded; f64 inputs (the host path) keep the plain
+    f64 eigensolve.
     """
     rows = (a[..., :, None] * b[..., None, :]).reshape(a.shape[:-1] + (9,))
+    if rows.dtype == jnp.float32:
+        from ..ops import dw
+
+        # rows entries are single products of f32 inputs — exact in dw.
+        rh, rl = dw.two_prod(
+            a[..., :, None].astype(jnp.float32),
+            b[..., None, :].astype(jnp.float32),
+        )
+        rh = rh.reshape(a.shape[:-1] + (9,))
+        rl = rl.reshape(a.shape[:-1] + (9,))
+        prod = dw.mul(
+            (rh[..., :, :, None], rl[..., :, :, None]),
+            (rh[..., :, None, :], rl[..., :, None, :]),
+        )  # (..., 5, 9, 9) dw
+        gram = (prod[0][..., 0, :, :], prod[1][..., 0, :, :])
+        for k in range(1, rows.shape[-2]):
+            gram = dw.add(gram, (prod[0][..., k, :, :], prod[1][..., k, :, :]))
+        vals, vecs = dw.eigh_jacobi_dw(gram[0], gram[1], sweeps=10)
+        basis = vecs[..., :, :4].astype(rows.dtype)
+        v3 = vals[0][..., 3] + vals[1][..., 3]
+        v4 = vals[0][..., 4] + vals[1][..., 4]
+        ok = (v3 <= EIGEN_THRESHOLD) & (v4 > EIGEN_THRESHOLD)
+        return basis, ok
     ee = smallmat.matmul_tn(rows, rows)
     from ..ops.eigen import eigh_small
 

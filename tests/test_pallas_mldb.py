@@ -35,7 +35,8 @@ def test_select_matches_gather(rng, fn):
     np.testing.assert_array_equal(out, ref)
 
 
-def test_select_groups_matches_gather(rng):
+@pytest.mark.parametrize("w", [1, 4])
+def test_select_groups_matches_gather(rng, w):
     """Tile-coherent group kernel: every group reads ONE shared 256x256
     window; slots beyond n_active come back as zero rows."""
     l, c, ng, g, ns = 4, 3, 12, 8, 128
@@ -50,8 +51,10 @@ def test_select_groups_matches_gather(rng):
     out = np.asarray(
         pallas_mldb.select_samples_groups(
             jnp.asarray(planes), jnp.asarray(win_lvl), jnp.asarray(win_ty),
-            jnp.asarray(win_tx), jnp.asarray(n_active), jnp.asarray(rel_x),
-            jnp.asarray(rel_y), interpret=True,
+            jnp.asarray(win_tx), jnp.asarray(n_active),
+            jnp.asarray(rel_x).reshape(ng // w, w * g, ns),
+            jnp.asarray(rel_y).reshape(ng // w, w * g, ns),
+            interpret=True, w=w,
         )
     ).reshape(ng, g, c, ns)
     for t in range(ng):
@@ -86,14 +89,15 @@ def test_orient_mldb_groups_matches_highest(rng):
         planes, lvl, width, height, xf, yf, scale, mode="highest"
     )
     ng_cap = -(-k // 8) + L * 4 + 1
-    w_g, ok_g, ang_g = desc.orient_mldb_groups(
-        planes, lvl, width, height, xf, yf, scale, valid,
-        pattern_size=10, ng_cap=ng_cap,
-    )
     v = np.asarray(valid)
-    np.testing.assert_array_equal(np.asarray(ok_g)[v], np.asarray(ok_ref)[v])
-    np.testing.assert_array_equal(np.asarray(ang_g)[v], np.asarray(ang_ref)[v])
-    np.testing.assert_array_equal(np.asarray(w_g)[v], np.asarray(w_ref)[v])
+    for w in (1, 4):
+        w_g, ok_g, ang_g = desc.orient_mldb_groups(
+            planes, lvl, width, height, xf, yf, scale, valid,
+            pattern_size=10, ng_cap=ng_cap, w=w,
+        )
+        np.testing.assert_array_equal(np.asarray(ok_g)[v], np.asarray(ok_ref)[v])
+        np.testing.assert_array_equal(np.asarray(ang_g)[v], np.asarray(ang_ref)[v])
+        np.testing.assert_array_equal(np.asarray(w_g)[v], np.asarray(w_ref)[v])
 
 
 @pytest.mark.parametrize("mode", ["pallas", "pgather"])

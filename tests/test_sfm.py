@@ -72,6 +72,7 @@ def built_engine(test_settings):
             frame, 0, engine.settings.tracking_recent_frames, 0, 512
         )
         engine.try_localize(frame, rec_frames, free_frames)
+    engine.flush_pending()
     return engine, points, poses
 
 
@@ -671,3 +672,70 @@ class TestTrajectoryGroundTruth:
             true_rel = se3.compose(true_poses[i + 1], se3.inverse(true_poses[i]))
             err = np.linalg.norm(se3.so3_log(est_rel[0].T @ true_rel[0]))
             assert err < np.deg2rad(1.0), (i, np.rad2deg(err))
+
+
+@pytest.mark.slow
+class TestAsyncOptimize:
+    """settings.async_optimize defers the fused BA+filter fetch to the next
+    engine call; the flush discipline must make the final state IDENTICAL
+    to the synchronous path (same programs, same order, same verdicts)."""
+
+    @staticmethod
+    def _build(test_settings, async_opt):
+        import dataclasses
+
+        rng = np.random.default_rng(42)
+        points, descriptors, poses, frames = make_scene(rng)
+        settings = dataclasses.replace(test_settings, async_optimize=async_opt)
+        engine = VSlam(settings=settings, seed=7)
+        feed = engine.data.feeds.insert(Feed(intrinsics=None, frames=[]))
+        n = len(descriptors)
+        for bearings in frames:
+            frame = engine.data.add_frame_features(
+                feed,
+                descriptors,
+                bearings,
+                np.linspace(1.0, 0.5, n, dtype=np.float32),
+                np.zeros((n, 3), np.uint8),
+            )
+            rec_frames, free_frames = (
+                engine.data.find_visually_similar_and_recent_frames(
+                    frame, 0, engine.settings.tracking_recent_frames, 0, 512
+                )
+            )
+            engine.try_localize(frame, rec_frames, free_frames)
+        engine.flush_pending()
+        return engine
+
+    def test_final_state_identical_to_sync(self, test_settings):
+        e_async = self._build(test_settings, True)
+        e_sync = self._build(test_settings, False)
+        ra = e_async.data.reconstructions
+        rs = e_sync.data.reconstructions
+        assert len(ra) == len(rs) == 1
+        rec_a = next(iter(ra.values()))
+        rec_s = next(iter(rs.values()))
+        assert len(rec_a.views) == len(rec_s.views)
+        assert len(rec_a.landmarks) == len(rec_s.landmarks)
+        pose_a = {
+            e_async.data.frames[v.frame].feed_frame: v.pose
+            for v in rec_a.views.values()
+        }
+        pose_s = {
+            e_sync.data.frames[v.frame].feed_frame: v.pose
+            for v in rec_s.views.values()
+        }
+        assert pose_a.keys() == pose_s.keys()
+        for k in pose_a:
+            np.testing.assert_array_equal(pose_a[k][0], pose_s[k][0])
+            np.testing.assert_array_equal(pose_a[k][1], pose_s[k][1])
+        # Observation structure (landmark observation multiset per view).
+        obs_a = sorted(
+            tuple(sorted(lm.observations.values()))
+            for lm in rec_a.landmarks.values()
+        )
+        obs_s = sorted(
+            tuple(sorted(lm.observations.values()))
+            for lm in rec_s.landmarks.values()
+        )
+        assert obs_a == obs_s

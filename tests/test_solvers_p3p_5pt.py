@@ -298,3 +298,32 @@ class TestNisterSteweniusAdversarial:
         a, b, rt, tt = self._batch(rng, scenario)
         rate = self._recovery_rate(a, b, rt, tt, tol, rotation_only)
         assert rate >= floor, (scenario, rate)
+
+    @pytest.mark.parametrize(
+        "scenario,tol,floor,rotation_only",
+        [
+            # f32 floors: the double-word nullspace (cv_tpu/ops/dw.py) must
+            # hold the f64 envelope with every other stage f32 — round-4
+            # verdict item 5 ("f32 recovers nothing below ~0.3 baselines"
+            # was the pre-dw state; exp_r5_5pt_stages localized the loss to
+            # the Gram eigenbasis).  Floors a notch under the f64 ones for
+            # the residual f32 noise in the downstream stages.
+            ("coplanar", 1e-3, 0.45, False),
+            ("near_coplanar", 1e-3, 0.45, False),
+            ("tiny_baseline", 1e-2, 0.25, True),
+            ("forward", 1e-3, 0.70, False),
+        ],
+    )
+    def test_recovery_envelope_f32_dw(
+        self, rng, scenario, tol, floor, rotation_only
+    ):
+        a, b, rt, tt = self._batch(rng, scenario)
+        rate = self._recovery_rate(
+            a.astype(jnp.float32),
+            b.astype(jnp.float32),
+            rt,
+            tt,
+            tol,
+            rotation_only,
+        )
+        assert rate >= floor, (scenario, rate)
