@@ -907,11 +907,17 @@ class DeviceExtractor:
         #   'pallas'/'bf16x3'/'bf16x3k'  measured losers, kept for experiments
         #              (device timings in docs/perf-notes.md round-3)
         if onehot_mode is None:
-            # 'pgather' relies on TPU-only Mosaic dynamic_gather; any other
-            # backend (CPU, GPU) gets the portable XLA one-hot path.
-            onehot_mode = (
-                "pgather" if jax.default_backend() == "tpu" else "highest"
-            )
+            # 'pgather'/'pgroups' rely on TPU-only Mosaic dynamic_gather;
+            # any other backend (CPU, GPU) gets the portable XLA one-hot
+            # path.  At large feature budgets the tile-coherent group
+            # describe wins big (M=4096, B=8: 67 vs 131 ms/batch — the XLA
+            # patch cut is a per-row gather wall that scales with K), while
+            # at the bench's M=512 the patch path stays marginally ahead
+            # (38.8 vs 40.3 ms); exp_r5_pgroups device A/B, round 5.
+            if jax.default_backend() == "tpu":
+                onehot_mode = "pgroups" if max_features >= 2048 else "pgather"
+            else:
+                onehot_mode = "highest"
         self.onehot_mode = onehot_mode
         # Opt-in reduced-precision diffusion (e.g. jnp.bfloat16): halves the
         # HBM traffic of the scale-space build at a small, bounded keypoint
