@@ -769,6 +769,7 @@ def orient_mldb_onehot(
     fused_rows = rows == "fused"
     use_k = mode == "bf16x3k"
     use_epatch = mode == "pepatch"
+    use_fused = mode == "pfused"
     use_pallas = mode in ("pallas", "pgather")
     if use_epatch:
         # Retired measured-loser path (the cut as per-keypoint ELEMENT-offset
@@ -854,6 +855,49 @@ def orient_mldb_onehot(
                 )[0]
 
             patch = jax.vmap(slice_one)(lvl_c, y0_c, x0_c)  # (chunk, 3, p, p)
+
+        if use_fused:
+            # Single-pass kernel: orientation select + in-kernel angle +
+            # M-LDB positions + select — one patch read instead of two
+            # (pallas_mldb.select_samples_fused).  Device-gated for trig
+            # bit-equality before it can be a default.
+            from . import pallas_mldb
+
+            hmax_f = planes.shape[2]
+            wmax_f = planes.shape[3]
+            pad_or_f = p - n_or
+            orx_f = jnp.pad(orx, ((0, 0), (0, pad_or_f)))
+            ory_f = jnp.pad(ory, ((0, 0), (0, pad_or_f)))
+            wt_row = jnp.zeros((8, p), jnp.float32).at[0, :n_or].set(wt)
+            ang1s, ang2s = (jnp.asarray(a) for a in orientation_windows())
+            a1_tbl = jnp.zeros((48, p), jnp.float32).at[: ang1s.shape[0]].set(
+                jnp.broadcast_to(ang1s[:, None], (ang1s.shape[0], p))
+            )
+            a2_tbl = jnp.zeros((48, p), jnp.float32).at[: ang2s.shape[0]].set(
+                jnp.broadcast_to(ang2s[:, None], (ang2s.shape[0], p))
+            )
+            nc_f = -(-ns // p)
+            uk_tbl = jnp.zeros((8, p), jnp.float32).at[:nc_f].set(
+                jnp.pad(ks, (0, nc_f * p - ns)).reshape(nc_f, p)
+            )
+            ul_tbl = jnp.zeros((8, p), jnp.float32).at[:nc_f].set(
+                jnp.pad(ls, (0, nc_f * p - ns)).reshape(nc_f, p)
+            )
+            vals_f, meta = pallas_mldb.select_samples_fused(
+                patch, orx_f, ory_f, xf_c, yf_c, sc_c,
+                w_c.astype(jnp.int32), h_c.astype(jnp.int32),
+                wt_row, a1_tbl, a2_tbl, uk_tbl, ul_tbl,
+                ns_u=ns, hmax=hmax_f, wmax=wmax_f,
+            )
+            angle_c = meta[:, 0]
+            co = meta[:, 1:2]
+            si = meta[:, 2:3]
+            ok_c = meta[:, 3] > 0.5
+            vals = vals_f[:, :, :ns]
+            words_c = _mldb_pack(
+                vals[:, 0], vals[:, 1], vals[:, 2], co, si, pattern_size
+            )
+            return words_c, ok_c, angle_c
 
         # --- orientation from the same patch ---
         if use_epatch:

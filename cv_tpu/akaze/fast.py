@@ -738,7 +738,7 @@ def stage_describe(cfg, planes, sel, sampler: str, onehot_mode: str = "highest")
                 # gather kernel (fewer pallas_call launches under lax.map);
                 # the XLA one-hot path keeps 128 to bound its HBM
                 # intermediates.
-                chunk=512 if onehot_mode in ("pgather", "pepatch") else 128,
+                chunk=512 if onehot_mode in ("pgather", "pepatch", "pfused") else 128,
                 mode=onehot_mode,
                 interleaved=interleaved,
             )

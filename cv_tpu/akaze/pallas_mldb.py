@@ -379,3 +379,182 @@ def select_samples_groups(
         rel_x, rel_y,
         *([planes] * (4 * w)),
     )
+
+
+def _select_one(patch2d, rx, ry):
+    """The proven per-tile gather chain for ONE (P, P) plane and one 128-
+    sample chunk (see _select_kernel_gather): lane gather -> 16-band masked
+    reduce -> sublane gather.  f32-exact."""
+    rx_b = jnp.broadcast_to(rx[None, :], (P, P))
+    q = ry // 8
+    r_b = jnp.broadcast_to((ry % 8)[None, :], (8, P))
+    qmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (P // 8, 8, P), 0)
+        == q[None, None, :]
+    )
+    u = jnp.take_along_axis(patch2d, rx_b, axis=1)
+    w = jnp.sum(jnp.where(qmask, u.reshape(P // 8, 8, P), 0.0), axis=0)
+    return jnp.take_along_axis(w, r_b, axis=0)[0]  # (P,)
+
+
+def _select_kernel_fused(
+    xf_ref, yf_ref, sc_ref, wl_ref, hl_ref,  # scalar-prefetch (K,)
+    orelx_ref, orely_ref,  # (1, G, 128) patch-relative orientation samples
+    wt_ref,                # (8, 128) f32; row 0 = orientation weights
+    a1_ref, a2_ref,        # (48, 128) f32; rows >= 42 unused
+    uk_ref, ul_ref,        # (8, 128) f32; rows 0..nc-1 = M-LDB offset chunks
+    patch_ref,             # (G, 3, P, P)
+    vals_ref,              # (G, 3, NSP)
+    meta_ref,              # (G, 128) f32: lanes 0..3 = angle, cos, sin, ok
+    *, g, nsp, n_or, ns_u, hmax, wmax,
+):
+    """Single-pass describe: orientation select + IN-KERNEL dominant angle
+    + M-LDB sample positions + M-LDB select, one patch DMA per keypoint
+    (the two-pass 'pgather' path reads every 805 MB patch buffer twice).
+
+    The angle math replicates descriptors._orientation_from_samples
+    lane-for-lane (the 109-sample reduce is a 128-lane masked reduce in XLA
+    too), and the position math replicates the XLA chunked path op-for-op;
+    whether Mosaic's atan2/cos/sin bit-match XLA's TPU lowering is gated by
+    an on-device equality test before this mode can be a default."""
+    two_pi = jnp.float32(2.0 * 3.14159265358979323846)
+    i = pl.program_id(0)
+    row48 = jax.lax.broadcasted_iota(jnp.int32, (48, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)[0]
+    for j in range(g):
+        base = i * g + j
+        xf = xf_ref[base]
+        yf = yf_ref[base]
+        sc = sc_ref[base]
+        wl = wl_ref[base]
+        hl = hl_ref[base]
+        # --- orientation samples (rel tables precomputed in XLA) ---
+        orx = orelx_ref[0, j]
+        ory = orely_ref[0, j]
+        vo_x = _select_one(patch_ref[j, 1], orx, ory)
+        vo_y = _select_one(patch_ref[j, 2], orx, ory)
+        res_x = wt_ref[0] * vo_x  # weights are 0 beyond lane n_or
+        res_y = wt_ref[0] * vo_y
+        angs = jnp.mod(jnp.arctan2(res_y, res_x) + two_pi, two_pi)
+        ang_b = angs[None, :]
+        a1 = a1_ref[:, :]
+        a2 = a2_ref[:, :]
+        in_win = ((a1 < a2) & (a1 < ang_b) & (ang_b < a2)) | (
+            (a2 < a1)
+            & (((ang_b > 0) & (ang_b < a2)) | ((ang_b > a1) & (ang_b < two_pi)))
+        )
+        sum_x = jnp.sum(jnp.where(in_win, res_x[None, :], 0.0), axis=1)[:, None]
+        sum_y = jnp.sum(jnp.where(in_win, res_y[None, :], 0.0), axis=1)[:, None]
+        val = sum_x * sum_x + sum_y * sum_y  # (48, 1)
+        val = jnp.where(row48 < 42, val, -jnp.inf)
+        m = jnp.max(val)
+        best = jnp.min(jnp.where(val == m, row48, 48))
+        bx = jnp.sum(jnp.where(row48 == best, sum_x, 0.0))
+        by = jnp.sum(jnp.where(row48 == best, sum_y, 0.0))
+        angle = jnp.mod(jnp.arctan2(by, bx) + two_pi, two_pi)
+        co = jnp.cos(angle)
+        si = jnp.sin(angle)
+
+        # --- M-LDB sample positions + select (patch anchor recomputed
+        # exactly as the XLA path: clip(int(center) - 64, 0, max - P)) ---
+        x0 = jnp.clip(xf.astype(jnp.int32) - P // 2, 0, wmax - P)
+        y0 = jnp.clip(yf.astype(jnp.int32) - P // 2, 0, hmax - P)
+        ok = jnp.float32(1.0)
+        nc = (ns_u + P - 1) // P
+        for cc in range(nc):
+            kt = uk_ref[cc]
+            lt = ul_ref[cc]
+            sy = yf + (lt * co + kt * si) * sc
+            sx = xf + (-lt * si + kt * co) * sc
+            # round_half_away (Rust f32::round semantics)
+            x1 = (jnp.sign(sx) * jnp.floor(jnp.abs(sx) + 0.5)).astype(jnp.int32)
+            y1 = (jnp.sign(sy) * jnp.floor(jnp.abs(sy) + 0.5)).astype(jnp.int32)
+            lane_in = lane < (ns_u - cc * P)
+            oob = lane_in & (
+                (x1 < 0) | (x1 >= wl) | (y1 < 0) | (y1 >= hl)
+            )
+            ok = ok * (1.0 - jnp.max(oob.astype(jnp.float32)))
+            x1 = jnp.clip(x1, 0, wl - 1)
+            y1 = jnp.clip(y1, 0, hl - 1)
+            relx = jnp.clip(x1 - x0, 0, P - 1)
+            rely = jnp.clip(y1 - y0, 0, P - 1)
+            for ch in range(3):
+                vals_ref[j, ch, cc * P : (cc + 1) * P] = _select_one(
+                    patch_ref[j, ch], relx, rely
+                )
+        meta = jnp.where(
+            lane == 0,
+            angle,
+            jnp.where(lane == 1, co, jnp.where(lane == 2, si, ok)),
+        )
+        meta_ref[j] = jnp.where(lane < 4, meta, 0.0)
+
+
+@partial(jax.jit, static_argnames=("interpret", "g", "hmax", "wmax", "ns_u"))
+def select_samples_fused(
+    patches: jnp.ndarray,  # (K, 3, P, P) f32
+    orel_x: jnp.ndarray,  # (K, 128) i32 orientation samples, patch-relative
+    orel_y: jnp.ndarray,  # (K, 128) i32
+    xf: jnp.ndarray,  # (K,) f32 keypoint center (level coords)
+    yf: jnp.ndarray,  # (K,) f32
+    scale: jnp.ndarray,  # (K,) f32 sampling scale
+    wlim: jnp.ndarray,  # (K,) i32 true plane width
+    hlim: jnp.ndarray,  # (K,) i32
+    wt_row: jnp.ndarray,  # (8, 128) f32 orientation weights (row 0)
+    a1_tbl: jnp.ndarray,  # (48, 128) f32 window starts (rows 42+ zero)
+    a2_tbl: jnp.ndarray,  # (48, 128) f32 window ends
+    uk_tbl: jnp.ndarray,  # (8, 128) f32 M-LDB k offsets by chunk row
+    ul_tbl: jnp.ndarray,  # (8, 128) f32 M-LDB l offsets
+    ns_u: int,  # number of real unique M-LDB offsets (441)
+    hmax: int,  # padded plane height (patch-anchor clamp)
+    wmax: int,
+    interpret: bool = False,
+    g: int = G,
+):
+    """Fused orientation + angle + M-LDB describe over per-keypoint patches.
+    Returns ``(vals (K, 3, NSP), meta (K, 128))`` with meta lanes
+    [angle, cos, sin, ok]."""
+    k, c, p, p2 = patches.shape
+    assert c == 3 and p == P and p2 == P, patches.shape
+    assert k % g == 0, (k, g)
+    nsp = -(-ns_u // P) * P
+    interpret = interpret or jax.default_backend() == "cpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(k // g,),
+        in_specs=[
+            pl.BlockSpec((1, g, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (g, 3, P, P), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (g, 3, nsp), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((g, P), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        partial(
+            _select_kernel_fused,
+            g=g, nsp=nsp, n_or=128, ns_u=ns_u, hmax=hmax, wmax=wmax,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((k, 3, nsp), jnp.float32),
+            jax.ShapeDtypeStruct((k, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        xf, yf, scale, wlim, hlim,
+        orel_x.reshape(k // g, g, P), orel_y.reshape(k // g, g, P),
+        wt_row, a1_tbl, a2_tbl, uk_tbl, ul_tbl,
+        patches,
+    )

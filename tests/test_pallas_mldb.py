@@ -100,7 +100,7 @@ def test_orient_mldb_groups_matches_highest(rng):
         np.testing.assert_array_equal(np.asarray(w_g)[v], np.asarray(w_ref)[v])
 
 
-@pytest.mark.parametrize("mode", ["pallas", "pgather"])
+@pytest.mark.parametrize("mode", ["pallas", "pgather", "pfused"])
 def test_orient_mldb_pallas_mode_matches_highest(rng, mode):
     """orient_mldb_onehot Pallas modes must produce identical words, ok
     masks, and angles to the XLA 'highest' path — all resolve the same
