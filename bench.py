@@ -370,7 +370,13 @@ def _bench_dense_anchor():
     img0 = to_gray_f32(load_gray(fixture_path("0000000000.png")))
     img14 = to_gray_f32(load_gray(fixture_path("0000000014.png")))
     batch = jnp.stack([jnp.asarray(img0), jnp.asarray(img14)])
-    ex = DeviceExtractor(Akaze(), candidate_budget=2048, max_features=4096)
+    # dedup_scan_cap must cover the conflicted-candidate count at the dense
+    # threshold (the default 1024 overflows there and the keep-don't-drop
+    # policy then saturates max_features with duplicates — r5 bench run).
+    ex = DeviceExtractor(
+        Akaze(), candidate_budget=2048, max_features=4096,
+        dedup_scan_cap=8192,
+    )
     counts = np.asarray(ex.extract(batch).count)
     anchors = (3425, 2908)
     ok = all(

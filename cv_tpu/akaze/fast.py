@@ -799,7 +799,14 @@ class FastAkazeExtractor:
             # across ~8 effective levels; fine levels hold most extrema).
             candidate_budget = max(512, m // 4)
         self._dev = DeviceExtractor(
-            self.config, candidate_budget=candidate_budget, max_features=m
+            self.config,
+            candidate_budget=candidate_budget,
+            max_features=m,
+            # The dedup scan must cover the conflicted-candidate count or
+            # the keep-don't-drop overflow policy lets duplicates crowd the
+            # budget at dense thresholds (the flat 1024 default overflowed
+            # at reference scale — round-5 dense-anchor finding).
+            dedup_scan_cap=max(1024, m),
         )
 
     def extract(self, image: np.ndarray):
