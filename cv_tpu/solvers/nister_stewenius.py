@@ -217,15 +217,60 @@ def real_eigen_10(at: jnp.ndarray):
     # (10 batched matmuls; exact in exact arithmetic, well-conditioned after
     # balancing), then all 10 roots at once with Durand-Kerner iteration in
     # complex f64 — the batched stand-in for nalgebra's complex_eigenvalues.
+    # In f32 the recursion runs in double-word arithmetic: the coefficient
+    # cancellation costs real envelope (stage bisection: f32 charpoly alone
+    # drops 0.97 -> 0.70 recovery; exp_r5_5pt_stages), while the f32 ROOTS
+    # stage downstream is harmless (0.98 with everything else f64).
     n = 10
-    coeffs = [jnp.ones(at.shape[:-2], dtype)]  # leading 1 (monic)
-    mk = at
-    for k in range(1, n + 1):
-        ck = -jnp.trace(mk, axis1=-2, axis2=-1) / k
-        coeffs.append(ck)
-        if k < n:
-            mk = smallmat.matmul(at, mk + ck[..., None, None] * eye)
-    poly = jnp.stack(coeffs, axis=-1)  # (..., 11), poly[0] = 1
+    if dtype == jnp.float32:
+        from ..ops import dw
+
+        at_dw = (at, jnp.zeros_like(at))
+
+        def dw_matmul(a, b):
+            # (..., n, n) dw x dw: contraction as explicit dw ops.
+            acc = dw.mul(
+                (a[0][..., :, :, None], a[1][..., :, :, None]),
+                (b[0][..., None, :, :], b[1][..., None, :, :]),
+            )  # (..., n, n, n): [i, k, j]
+            out = (acc[0][..., :, 0, :], acc[1][..., :, 0, :])
+            for kk in range(1, n):
+                out = dw.add(out, (acc[0][..., :, kk, :], acc[1][..., :, kk, :]))
+            return out
+
+        def dw_trace(a):
+            t = (a[0][..., 0, 0], a[1][..., 0, 0])
+            for ii in range(1, n):
+                t = dw.add(t, (a[0][..., ii, ii], a[1][..., ii, ii]))
+            return t
+
+        ones = jnp.ones(at.shape[:-2], dtype)
+        coeffs = [(ones, jnp.zeros_like(ones))]
+        mk = at_dw
+        eye_b = jnp.broadcast_to(eye, at.shape)
+        for k in range(1, n + 1):
+            tr = dw_trace(mk)
+            ck = dw.div(dw.neg(tr), dw.from_f32(jnp.full_like(tr[0], float(k))))
+            coeffs.append(ck)
+            if k < n:
+                shifted = dw.add(
+                    mk,
+                    dw.mul(
+                        (ck[0][..., None, None], ck[1][..., None, None]),
+                        (eye_b, jnp.zeros_like(eye_b)),
+                    ),
+                )
+                mk = dw_matmul(at_dw, shifted)
+        poly = jnp.stack([dw.to_f32(c) for c in coeffs], axis=-1)
+    else:
+        coeffs = [jnp.ones(at.shape[:-2], dtype)]  # leading 1 (monic)
+        mk = at
+        for k in range(1, n + 1):
+            ck = -jnp.trace(mk, axis1=-2, axis2=-1) / k
+            coeffs.append(ck)
+            if k < n:
+                mk = smallmat.matmul(at, mk + ck[..., None, None] * eye)
+        poly = jnp.stack(coeffs, axis=-1)  # (..., 11), poly[0] = 1
 
     ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     # Rescale lambda = s mu with s = Gershgorin radius so all roots fall in
