@@ -828,11 +828,10 @@ def stages_main(batch_size=BATCH):
     )
     timings["match_pair"], _ = _time_jit(j_match, fs.words[:2], fs.valid[:2])
 
-    # Host-f64 five-point latency: the engine's 5pt consensus path runs the
-    # solver host-side in f64 by measurement (f32 loses the small-baseline
-    # envelope; PARITY.md solver row / docs/perf-notes.md round-2), so its
-    # cost is a host number, reported here where the engine would pay it
-    # (per consensus call: hypotheses x 5-point minimal sets).
+    # TPU-resident f32 five-point (round 5: double-word nullspace +
+    # charpoly restore the small-baseline envelope on device — ops/dw.py;
+    # the pre-round-5 host-f64 escape this harness used to time no longer
+    # exists, and jax.experimental.enable_x64 is gone from this jax).
     import time as _time
 
     from cv_tpu.solvers import nister_stewenius
@@ -842,17 +841,14 @@ def stages_main(batch_size=BATCH):
     a5 = pts5 / np.linalg.norm(pts5, axis=-1, keepdims=True)
     b5 = a5 + rng.normal(scale=1e-2, size=a5.shape)
     b5 /= np.linalg.norm(b5, axis=-1, keepdims=True)
-    from jax.experimental import enable_x64
-
-    with enable_x64(), jax.default_device(jax.devices("cpu")[0]):
-        a5j = jnp.asarray(a5, jnp.float64)
-        b5j = jnp.asarray(b5, jnp.float64)
-        out5 = nister_stewenius.estimate(a5j, b5j)
-        np.asarray(out5[1])
-        t5 = _time.perf_counter()
-        out5 = nister_stewenius.estimate(a5j, b5j)
-        np.asarray(out5[1])
-        timings["five_point_host(64 sets)"] = (_time.perf_counter() - t5) * 1e3
+    a5d = jnp.asarray(a5, jnp.float32)
+    b5d = jnp.asarray(b5, jnp.float32)
+    out5d = nister_stewenius.estimate(a5d, b5d)
+    np.asarray(out5d[1])
+    t5 = _time.perf_counter()
+    out5d = nister_stewenius.estimate(a5d, b5d)
+    np.asarray(out5d[1])
+    timings["five_point_device(64 sets)"] = (_time.perf_counter() - t5) * 1e3
 
     counts = np.asarray(fs.count)
     total = sum(timings.values())

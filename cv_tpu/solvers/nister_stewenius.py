@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from ..core import smallmat
 
 from ..camera import essential as essential_mod
@@ -272,40 +273,67 @@ def real_eigen_10(at: jnp.ndarray):
                 mk = smallmat.matmul(at, mk + ck[..., None, None] * eye)
         poly = jnp.stack(coeffs, axis=-1)  # (..., 11), poly[0] = 1
 
-    ctype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     # Rescale lambda = s mu with s = Gershgorin radius so all roots fall in
     # ~ the unit disk — Durand-Kerner from a unit-circle start then converges
     # uniformly regardless of the raw eigenvalue magnitudes.
+    #
+    # Complex arithmetic is ENTIRELY unimplemented on this TPU backend
+    # (probed: even eager complex64 multiply fails UNIMPLEMENTED), so the
+    # iteration runs on explicit (re, im) pairs — same math, real ops only.
     s_rad = jnp.max(jnp.sum(jnp.abs(at), axis=-1), axis=-1) + 1.0
     powers = s_rad[..., None] ** jnp.arange(n + 1)
     poly_s = poly / powers
-    angles = 2.0 * jnp.pi * jnp.arange(n) / n + 0.4
-    z = jnp.broadcast_to(
-        jnp.exp(1j * angles).astype(ctype), poly.shape[:-1] + (n,)
+    angles = 2.0 * np.pi * np.arange(n) / n + 0.4
+    zr = jnp.broadcast_to(
+        jnp.asarray(np.cos(angles), dtype), poly.shape[:-1] + (n,)
+    )
+    zi = jnp.broadcast_to(
+        jnp.asarray(np.sin(angles), dtype), poly.shape[:-1] + (n,)
     )
 
-    def horner(x):
-        acc = jnp.broadcast_to(poly_s[..., 0:1].astype(ctype), x.shape)
-        for k in range(1, n + 1):
-            acc = acc * x + poly_s[..., k : k + 1].astype(ctype)
-        return acc
+    def cmul(ar, ai, br, bi):
+        return ar * br - ai * bi, ar * bi + ai * br
 
+    def horner(xr, xi):
+        hr = jnp.broadcast_to(poly_s[..., 0:1], xr.shape)
+        hi = jnp.zeros_like(hr)
+        for k in range(1, n + 1):
+            hr, hi = cmul(hr, hi, xr, xi)
+            hr = hr + poly_s[..., k : k + 1]
+        return hr, hi
+
+    eye_n = jnp.eye(n, dtype=dtype)
     for _ in range(DK_ITERS):
-        diff = z[..., :, None] - z[..., None, :]
-        diff = diff + jnp.eye(n, dtype=ctype)  # mask self-difference
-        denom = jnp.prod(diff, axis=-1)
-        step = horner(z) / denom
-        step = jnp.where(jnp.isfinite(step), step, 0.0)
-        z = z - step
-    z = z * s_rad[..., None].astype(ctype)
+        dr = zr[..., :, None] - zr[..., None, :] + eye_n  # mask self-diff
+        di = zi[..., :, None] - zi[..., None, :]
+        pr = dr[..., 0]
+        pi = di[..., 0]
+        for kk in range(1, n):
+            pr, pi = cmul(pr, pi, dr[..., kk], di[..., kk])
+        hr, hi = horner(zr, zi)
+        # (hr + i hi) / (pr + i pi) via Smith's algorithm — the naive
+        # |p|^2 denominator underflows f32 for clustered roots (measured:
+        # recovery 0.83 -> 0.30 at b=0.03), which is exactly why XLA's own
+        # complex division is Smith-scaled.
+        big = jnp.abs(pr) >= jnp.abs(pi)
+        num = jnp.where(big, pr, pi)
+        alt = jnp.where(big, pi, pr)
+        r = alt / num
+        den = num + alt * r
+        sr = jnp.where(big, (hr + hi * r) / den, (hr * r + hi) / den)
+        si = jnp.where(big, (hi - hr * r) / den, (hi * r - hr) / den)
+        ok_step = jnp.isfinite(sr) & jnp.isfinite(si)
+        zr = zr - jnp.where(ok_step, sr, 0.0)
+        zi = zi - jnp.where(ok_step, si, 0.0)
+    zr = zr * s_rad[..., None]
+    zi = zi * s_rad[..., None]
 
     # Keep every root's real part as a candidate (Durand-Kerner may leave a
     # residual imaginary part on hard clustered roots); Rayleigh-quotient
     # iteration polishes each candidate and the final eigen-residual decides
     # validity — the batched analog of the reference's SVD null-space check
     # (lib.rs:206-218).
-    roots = z.real  # (..., 10)
-    rough_real = jnp.abs(z.imag) <= 1e-2 * (1.0 + jnp.abs(z.real))
+    roots = zr  # (..., 10)
 
     radius = jnp.max(jnp.sum(jnp.abs(at), axis=-1), axis=-1) + 1.0  # Gershgorin
     reg = (1e-12 * radius)[..., None, None, None] * eye
