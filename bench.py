@@ -829,9 +829,11 @@ def stages_main(batch_size=BATCH):
     timings["match_pair"], _ = _time_jit(j_match, fs.words[:2], fs.valid[:2])
 
     # TPU-resident f32 five-point (round 5: double-word nullspace +
-    # charpoly restore the small-baseline envelope on device — ops/dw.py;
+    # charpoly + complex-free Smith-division Durand-Kerner — ops/dw.py;
     # the pre-round-5 host-f64 escape this harness used to time no longer
     # exists, and jax.experimental.enable_x64 is gone from this jax).
+    # Jitted: consensus always runs it under jit; eager dispatch of the
+    # ~thousands of small ops costs ~35 s through the tunnel.
     import time as _time
 
     from cv_tpu.solvers import nister_stewenius
@@ -843,10 +845,11 @@ def stages_main(batch_size=BATCH):
     b5 /= np.linalg.norm(b5, axis=-1, keepdims=True)
     a5d = jnp.asarray(a5, jnp.float32)
     b5d = jnp.asarray(b5, jnp.float32)
-    out5d = nister_stewenius.estimate(a5d, b5d)
+    j5 = jax.jit(nister_stewenius.estimate)
+    out5d = j5(a5d, b5d)
     np.asarray(out5d[1])
     t5 = _time.perf_counter()
-    out5d = nister_stewenius.estimate(a5d, b5d)
+    out5d = j5(a5d, b5d)
     np.asarray(out5d[1])
     timings["five_point_device(64 sets)"] = (_time.perf_counter() - t5) * 1e3
 
