@@ -805,7 +805,14 @@ class FastAkazeExtractor:
             # The dedup scan must cover the conflicted-candidate count or
             # the keep-don't-drop overflow policy lets duplicates crowd the
             # budget at dense thresholds (the flat 1024 default overflowed
-            # at reference scale — round-5 dense-anchor finding).
+            # at reference scale — round-5 dense-anchor finding; exact
+            # dedup at 8192 cut refscale landmarks 164k -> 39k real,
+            # docs/refscale-run-v3.md).  The floor stays 1024: small-budget
+            # engine scenarios keep a bounded dup fringe (974 real vs a
+            # saturated 1024 measured on a 512x640 frame at m=1024) and the
+            # multi-seed merge scenarios are calibrated against it; callers
+            # wanting exact small-budget dedup pass dedup_scan_cap
+            # explicitly.
             dedup_scan_cap=max(1024, m),
         )
 
